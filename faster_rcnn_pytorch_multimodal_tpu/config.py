@@ -298,6 +298,9 @@ class Config:
     use_lidar_fpn: bool = False
     enable_full_net: bool = True
     net_type: str = "lidar"  # 'image' | 'lidar'
+    # backbone selector (ref tools/trainval_net.py --net flag: res18/34/50/
+    # 101/152, vgg16, mobile)
+    net_variant: str = "res101"
     scale_loc: int = 6
     cache_dir: str = ""
     db_name: str = ""

@@ -1,0 +1,211 @@
+"""Host batch loader: shuffled epoch iteration + padding + thread prefetch.
+
+Replaces the reference's RoIDataLayer (shuffled perm + cur pointer,
+ref lib/roi_data_layer/layer.py:21-86) and data_layer_generator (background
+multiprocessing.Process + Queue(8), ref lib/model/data_layer_generator.py:
+22-135).  Pointer state (cur, perm, epoch) is exposed for checkpoint resume
+exactly like the reference snapshots it (ref train_val.py:128-137).
+
+All outputs are PADDED to static shapes:
+  image:  data (B,H,W,3) — frames resized/padded to cfg.static.image_size
+  lidar:  points (B,P,5) + point_valid (B,P) raw; BEV rasterization happens
+          on device (ops.voxelize), optionally fused here via `rasterize`.
+  gt_boxes (B,G,5|8), gt_mask (B,G), window (B,4)
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Optional
+
+import numpy as np
+
+from faster_rcnn_pytorch_multimodal_tpu.config import Config
+
+
+class BatchLoader:
+    def __init__(
+        self,
+        dataset,
+        cfg: Config,
+        batch_size: int,
+        augment: bool = True,
+        shuffle: bool = True,
+        seed: int = 3,
+        prefetch: int = 4,
+        rasterize: bool = True,
+    ):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.augment = augment
+        self.shuffle = shuffle
+        self.rasterize = rasterize
+        self._rng = np.random.RandomState(seed)
+        self._perm = self._new_perm()
+        self._cur = 0
+        self._epoch = 0
+        self._peeked: Optional[Dict[str, np.ndarray]] = None
+        self._q: Optional[queue.Queue] = None
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self._prefetch = prefetch
+        self._raster_fn = None
+        if cfg.net_type == "lidar" and rasterize:
+            self._raster_fn = self._make_raster_fn()
+
+    # -- sampler state (resume) --------------------------------------------
+
+    def state_dict(self) -> Dict[str, np.ndarray]:
+        return {
+            "cur": np.asarray(self._cur),
+            "perm": np.asarray(self._perm),
+            "epoch": np.asarray(self._epoch),
+            "rng": np.asarray(self._rng.get_state()[1]),
+        }
+
+    def load_state_dict(self, state: Dict[str, np.ndarray]):
+        self._cur = int(state["cur"])
+        self._perm = np.asarray(state["perm"])
+        self._epoch = int(state["epoch"])
+
+    # -- iteration -------------------------------------------------------
+
+    def _new_perm(self) -> np.ndarray:
+        n = len(self.dataset)
+        return self._rng.permutation(n) if self.shuffle else np.arange(n)
+
+    def _next_indices(self) -> np.ndarray:
+        out = []
+        for _ in range(self.batch_size):
+            if self._cur >= len(self._perm):
+                self._perm = self._new_perm()
+                self._cur = 0
+                self._epoch += 1
+            out.append(self._perm[self._cur])
+            self._cur += 1
+        return np.asarray(out)
+
+    def peek(self) -> Dict[str, np.ndarray]:
+        if self._peeked is None:
+            self._peeked = self._build_batch(self._next_indices())
+        return self._peeked
+
+    def next(self) -> Dict[str, np.ndarray]:
+        if self._peeked is not None:
+            b, self._peeked = self._peeked, None
+            return b
+        if self._thread is not None:
+            return self._q.get()
+        return self._build_batch(self._next_indices())
+
+    # -- background prefetch ------------------------------------------------
+
+    def start(self):
+        """Begin thread prefetch (ref data_layer_generator.start)."""
+        if self._thread is not None:
+            return
+        self._q = queue.Queue(maxsize=self._prefetch)
+        self._stop.clear()
+
+        def run():
+            while not self._stop.is_set():
+                batch = self._build_batch(self._next_indices())
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def kill(self):
+        """ref data_layer_generator.kill/clear/join lifecycle."""
+        if self._thread is None:
+            return
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
+        self._thread = None
+
+    # -- batch assembly -----------------------------------------------------
+
+    def _make_raster_fn(self):
+        import jax
+        from functools import partial
+
+        from faster_rcnn_pytorch_multimodal_tpu.ops.voxelize import (
+            bev_grid_size,
+            voxelize_bev,
+        )
+
+        cfg = self.cfg
+        scale = float(cfg.train.scales[0])
+        num_y, num_x, _ = bev_grid_size(cfg, scale)
+        fn = partial(
+            voxelize_bev,
+            x_range=cfg.lidar.x_range,
+            y_range=cfg.lidar.y_range,
+            z_range=cfg.lidar.z_range,
+            voxel_len=cfg.lidar.voxel_len / scale,
+            voxel_height=cfg.lidar.voxel_height,
+            num_x=num_x,
+            num_y=num_y,
+            num_slices=cfg.lidar.num_slices,
+            num_meta=cfg.lidar.num_meta_channel,
+            max_pts_per_voxel=cfg.lidar.max_pts_per_voxel,
+        )
+        return jax.jit(jax.vmap(fn))
+
+    def _build_batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        frames = [self.dataset.frame(int(i), augment=self.augment) for i in indices]
+        g = cfg.static.max_gt
+        n_elem = 8 if cfg.net_type == "lidar" else 5
+        b = len(frames)
+
+        gt = np.zeros((b, g, n_elem), np.float32)
+        gt_mask = np.zeros((b, g), bool)
+        window = np.zeros((b, 4), np.float32)
+        for i, f in enumerate(frames):
+            boxes = f["gt_boxes"][:g]
+            gt[i, : len(boxes)] = boxes
+            gt_mask[i, : len(boxes)] = True
+            window[i] = f["window"]
+
+        batch: Dict[str, np.ndarray] = {
+            "gt_boxes": gt,
+            "gt_mask": gt_mask,
+            "window": window,
+        }
+
+        if cfg.net_type == "lidar":
+            p = cfg.static.max_points
+            pts = np.zeros((b, p, 5), np.float32)
+            pvalid = np.zeros((b, p), bool)
+            for i, f in enumerate(frames):
+                fp = f["points"][:p]
+                pts[i, : len(fp)] = fp
+                pvalid[i, : len(fp)] = True
+            if self._raster_fn is not None:
+                batch["data"] = np.asarray(self._raster_fn(pts, pvalid))
+            else:
+                batch["points"] = pts
+                batch["point_valid"] = pvalid
+        else:
+            hs = [f["data"].shape[0] for f in frames]
+            ws = [f["data"].shape[1] for f in frames]
+            h, w = max(hs), max(ws)
+            data = np.zeros((b, h, w, frames[0]["data"].shape[2]), np.float32)
+            for i, f in enumerate(frames):
+                fh, fw = f["data"].shape[:2]
+                data[i, :fh, :fw] = f["data"]
+            batch["data"] = data
+        return batch

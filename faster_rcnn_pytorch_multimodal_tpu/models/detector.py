@@ -1,0 +1,641 @@
+"""Two-stage Faster R-CNN detector (image 2D + LiDAR BEV 3D) with
+aleatoric/epistemic uncertainty — the TPU reconstruction of the reference's
+missing `lib/nets/network.py` (interface recovered in SURVEY.md §2.1).
+
+Structure:
+  * flax modules hold ONLY the learned layers (backbone, FPN, RPN head,
+    tail, predictors);
+  * the detection plumbing (anchors, proposal NMS, target assignment,
+    RoI align, decode) is pure jnp from `ops/`, called inside the module
+    methods, vmapped over the batch;
+  * one jitted call covers the whole train step over a REAL batch —
+    the reference's per-frame python loop with pseudo-batching
+    (ref train_val.py:371-460) collapses into XLA;
+  * epistemic MC-dropout runs the tail+predictors T times with distinct
+    dropout rngs inside the same trace (replaces set_e_num_sample,
+    ref test.py:73-77).
+
+Shape contract (all static):
+  images:      (B, H, W, C)        C=3 image / cfg.lidar.num_channel BEV
+  gt_boxes:    (B, G, 5)  image    [x1,y1,x2,y2,cls], padded by gt_mask
+  gt_boxes3d:  (B, G, 8)  lidar    [xc,yc,zc,l,w,h,ry,cls] voxel-grid space
+  window:      (B, 4)              [xmin,xmax,ymin,ymax] valid frame extent
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faster_rcnn_pytorch_multimodal_tpu.config import Config
+from faster_rcnn_pytorch_multimodal_tpu.models.fpn import FPN
+from faster_rcnn_pytorch_multimodal_tpu.models.heads import (
+    DetectionPredictors,
+    FCTail,
+    RPNHead,
+)
+from faster_rcnn_pytorch_multimodal_tpu.models.resnet import (
+    ResNetC4,
+    ResNetLayer4,
+    ResNetPyramid,
+)
+from faster_rcnn_pytorch_multimodal_tpu.ops.anchors import (
+    anchors_3d_to_bev_aabb,
+    generate_3d_anchors,
+    generate_anchors_pre,
+)
+from faster_rcnn_pytorch_multimodal_tpu.ops.box_transform import (
+    bbox_transform_inv,
+    clip_boxes,
+    lidar_3d_bbox_transform_inv,
+    lidar_3d_uncertainty_transform_inv,
+    uncertainty_transform_inv,
+)
+from faster_rcnn_pytorch_multimodal_tpu.ops.iou import bbox_3d_to_bev_aabb
+from faster_rcnn_pytorch_multimodal_tpu.ops.losses import (
+    bayesian_cross_entropy,
+    categorical_entropy,
+    categorical_mutual_information,
+    compute_bbox_var,
+    cross_entropy,
+    smooth_l1_loss,
+)
+from faster_rcnn_pytorch_multimodal_tpu.ops.nms import nms
+from faster_rcnn_pytorch_multimodal_tpu.ops.roi_align import (
+    multiscale_roi_align,
+    roi_align,
+)
+from faster_rcnn_pytorch_multimodal_tpu.ops.targets import (
+    anchor_target,
+    proposal_target,
+)
+
+
+# ---------------------------------------------------------------------------
+# Static anchor construction
+# ---------------------------------------------------------------------------
+
+
+def build_anchor_grid(
+    cfg: Config, feat_h: int, feat_w: int, frame_scale: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(anchors_bev (N,4), anchors_3d (N,7)) for the given feature grid.
+
+    Image nets: classic 2D anchors (ref snippets.py:13-40); anchors_3d is a
+    zero-filled placeholder carried for a uniform proposal interface.
+    Lidar nets: AVOD grid anchors -> BEV AABB for the RPN regression
+    (ref generate_3d_anchors.py + lib/utils/bbox.py:256-336).
+    """
+    stride = feat_stride(cfg)
+    if cfg.net_type == "lidar":
+        _, a3d = generate_3d_anchors(
+            feat_h,
+            feat_w,
+            stride,
+            anchor_sizes_lwh=cfg.lidar.anchors,
+            anchor_scales=cfg.lidar.anchor_scales,
+            anchor_rotations=cfg.lidar.anchor_angles,
+            voxel_len=cfg.lidar.voxel_len,
+            frame_scale=frame_scale,
+        )
+        bev = anchors_3d_to_bev_aabb(a3d)
+        # the 3D grid tiles (W*stride-1)/(H*stride-1) which can drop the last
+        # row/col vs the feature grid; pad to the full H*W*A lane count
+        a = cfg.num_anchors_3d
+        full = feat_h * feat_w * a
+        if bev.shape[0] != full:
+            grid_w = int(np.ceil((feat_w * stride - 1) / stride))
+            grid_h = int(np.ceil((feat_h * stride - 1) / stride))
+            bev = bev.reshape(grid_h, grid_w, a, 4)
+            a3d = a3d.reshape(grid_h, grid_w, a, 7)
+            pad = ((0, feat_h - grid_h), (0, feat_w - grid_w), (0, 0), (0, 0))
+            bev = np.pad(bev, pad, mode="edge").reshape(full, 4)
+            a3d = np.pad(a3d, pad, mode="edge").reshape(full, 7)
+        return bev, a3d
+
+    anchors, n = generate_anchors_pre(
+        feat_h,
+        feat_w,
+        stride,
+        anchor_scales=cfg.anchor_scales,
+        anchor_ratios=cfg.anchor_ratios,
+        frame_scale=frame_scale,
+    )
+    return anchors, np.zeros((n, 7), np.float32)
+
+
+def feat_stride(cfg: Config) -> int:
+    """ref imagenet.py:32-48: 4 with FPN+multiscale, else 16."""
+    if cfg.use_fpn and cfg.pooling_mode == "multiscale":
+        return 4
+    return 16
+
+
+# ---------------------------------------------------------------------------
+# Proposal layer (pure, single frame)
+# ---------------------------------------------------------------------------
+
+
+def propose_one(
+    fg_scores: jnp.ndarray,
+    deltas: jnp.ndarray,
+    anchors_bev: jnp.ndarray,
+    anchors_3d: jnp.ndarray,
+    window: jnp.ndarray,
+    *,
+    pre_nms_top_n: int,
+    post_nms_top_n: int,
+    nms_thresh: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """RPN proposals for one frame (ref proposal_layer.py:18-57).
+
+    Returns (rois (P,4), scores (P,), anchors_3d (P,7), valid (P,)) with
+    P = post_nms_top_n, padded lanes flagged invalid.
+    """
+    boxes = bbox_transform_inv(anchors_bev, deltas)
+    boxes = clip_boxes(boxes, window)
+    k = min(pre_nms_top_n, fg_scores.shape[0])
+    top_scores, order = jax.lax.top_k(fg_scores, k)
+    top_boxes = boxes[order]
+    top_a3d = anchors_3d[order]
+    keep, keep_valid = nms(top_boxes, top_scores, nms_thresh, post_nms_top_n)
+    return (
+        top_boxes[keep],
+        jnp.where(keep_valid, top_scores[keep], 0.0),
+        top_a3d[keep],
+        keep_valid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# The detector
+# ---------------------------------------------------------------------------
+
+
+class FasterRCNN(nn.Module):
+    """Flagship detector module.  `cfg` and `num_classes` are static."""
+
+    cfg: Config
+    num_classes: int
+
+    def setup(self):
+        c = self.cfg
+        uc = c.uc
+        dropout_en = uc.any_epistemic
+        resnet_drop = 0.5 if dropout_en else 0.0
+        # ref imagenet.py:52-63: epistemic shrinks the det head to fc7/4
+        self.fc7_channels = 2048
+        self.det_channels = self.fc7_channels // 4 if dropout_en else self.fc7_channels
+
+        num_layers = int(c.net_variant.replace("res", "") or 101)
+        if c.use_fpn:
+            self.backbone = ResNetPyramid(
+                num_layers, dropout_en=dropout_en, drop_rate=resnet_drop
+            )
+            self.fpn = FPN(planes=256)
+            self.tail = FCTail(self.fc7_channels)
+        else:
+            self.backbone = ResNetC4(
+                num_layers, dropout_en=dropout_en, drop_rate=resnet_drop
+            )
+            self.tail = ResNetLayer4(
+                num_layers, dropout_en=dropout_en, drop_rate=resnet_drop
+            )
+        self.rpn = RPNHead(rpn_channels=c.rpn_channels, num_anchors=c.num_anchors)
+        if uc.en_rpn_bbox_aleatoric:
+            self.rpn_bbox_al_var_net = nn.Conv(
+                c.num_anchors * 4, (1, 1),
+                kernel_init=nn.initializers.normal(0.001),
+            )
+        self.predictors = DetectionPredictors(
+            num_classes=self.num_classes,
+            num_bbox_elem=c.num_bbox_elem,
+            det_channels=self.det_channels,
+            en_cls_aleatoric=uc.en_cls_aleatoric,
+            en_bbox_aleatoric=uc.en_bbox_aleatoric,
+            en_cls_epistemic=uc.en_cls_epistemic,
+            en_bbox_epistemic=uc.en_bbox_epistemic,
+            lidar_bn=(c.net_type == "lidar" and uc.any_epistemic),
+        )
+
+    # -- feature extraction -------------------------------------------------
+
+    def features(self, images: jnp.ndarray, deterministic: bool = True):
+        if self.cfg.use_fpn:
+            c2, c3, c4, c5 = self.backbone(images, deterministic)
+            p2, p3, p4, p5 = self.fpn(c2, c3, c4, c5)
+            return {"rpn": p2, "pyramid": (p2, p3, p4, p5)}
+        feat = self.backbone(images, deterministic)
+        return {"rpn": feat, "pyramid": None}
+
+    # -- rpn ------------------------------------------------------------
+
+    def rpn_scores(self, rpn_feat: jnp.ndarray):
+        """Returns per-anchor (fg_prob (B,N), cls_logits (B,N,2),
+        bbox deltas (B,N,4)[, bbox log-var]) in (y, x, a) lane order."""
+        cls, bbox = self.rpn(rpn_feat)
+        b, h, w, _ = cls.shape
+        a = self.cfg.num_anchors
+        # channel layout [bg x A | fg x A] (ref proposal_layer.py:32 takes
+        # the back half as fg scores)
+        logits = cls.reshape(b, h, w, 2, a)
+        logits = jnp.moveaxis(logits, 3, 4).reshape(b, h * w * a, 2)
+        fg_prob = jax.nn.softmax(logits, axis=-1)[..., 1]
+        deltas = bbox.reshape(b, h * w * a, 4)
+        out = {"logits": logits, "fg_prob": fg_prob, "deltas": deltas}
+        if self.cfg.uc.en_rpn_bbox_aleatoric:
+            var = self.rpn_bbox_al_var_net(rpn_feat)
+            out["bbox_al_var"] = var.reshape(b, h * w * a, 4)
+        return out
+
+    # -- roi head ---------------------------------------------------------
+
+    def roi_head(
+        self,
+        feats: Dict[str, Any],
+        rois: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Pool (B, S, 4) rois and run tail + predictors -> dict of (B, S, ·)."""
+        c = self.cfg
+        p = c.pooling_size
+
+        if c.use_fpn and c.pooling_mode == "multiscale":
+            pyramid = feats["pyramid"]
+            strides = (4, 8, 16, 32)
+            pooled = jax.vmap(
+                lambda p2, p3, p4, p5, r: multiscale_roi_align(
+                    (p2, p3, p4, p5), r, strides, output_size=p
+                )
+            )(*pyramid, rois)
+        else:
+            feat = feats["rpn"]
+            scale = 1.0 / feat_stride(c)
+            pooled = jax.vmap(
+                lambda f, r: roi_align(f, r, scale, output_size=p)
+            )(feat, rois)
+
+        b, s = rois.shape[0], rois.shape[1]
+        if c.use_fpn:
+            flat = pooled.reshape(b * s, -1)
+            fc7 = self.tail(flat, deterministic)
+        else:
+            tail_out = self.tail(
+                pooled.reshape(b * s, p, p, pooled.shape[-1]), deterministic
+            )
+            fc7 = jnp.mean(tail_out, axis=(1, 2))  # global avg pool -> 2048
+        out = self.predictors(fc7, deterministic)
+        return {k: v.reshape(b, s, -1) for k, v in out.items()}
+
+    # -- full passes --------------------------------------------------------
+
+    def __call__(self, images: jnp.ndarray, window: jnp.ndarray):
+        """Parameter-shape-only forward for init: touches every submodule
+        (backbone, fpn, rpn, rpn var head, tail, predictors) WITHOUT the
+        proposal/NMS/target graph — init compiles in seconds instead of
+        tracing the full detection pipeline."""
+        feats = self.features(images, deterministic=True)
+        rpn_out = self.rpn_scores(feats["rpn"])
+        b = images.shape[0]
+        dummy_rois = jnp.tile(
+            jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (b, 4, 1)
+        )
+        det = self.roi_head(feats, dummy_rois, deterministic=True)
+        return {"rpn": rpn_out["fg_prob"], **det}
+
+    def _anchors(self, rpn_feat):
+        h, w = rpn_feat.shape[1:3]
+        scale = float(self.cfg.train.scales[0])
+        bev, a3d = build_anchor_grid(self.cfg, h, w, scale)
+        return jnp.asarray(bev), jnp.asarray(a3d)
+
+    def _propose_batch(self, rpn_out, window, phase: str):
+        c = self.cfg.phase(phase)
+        static = self.cfg.static
+        pre_n = (
+            static.nms_pre_train if phase == "train" else static.nms_pre_test
+        )
+        return jax.vmap(
+            partial(
+                propose_one,
+                pre_nms_top_n=min(pre_n, c.rpn_pre_nms_top_n),
+                post_nms_top_n=c.rpn_post_nms_top_n,
+                nms_thresh=c.rpn_nms_thresh,
+            ),
+            in_axes=(0, 0, None, None, 0),
+        )(
+            rpn_out["fg_prob"],
+            rpn_out["deltas"],
+            *rpn_out["anchors"],
+            window,
+        )
+
+    def forward_train(
+        self,
+        images: jnp.ndarray,
+        gt_boxes: jnp.ndarray,
+        gt_mask: jnp.ndarray,
+        window: jnp.ndarray,
+        rng: jax.Array,
+        gt_boxes_dc: Optional[jnp.ndarray] = None,
+        dc_mask: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Full training forward -> loss dict.
+
+        gt_boxes: (B, G, 5) for image nets, (B, G, 8) 7-DoF for lidar.
+        """
+        c = self.cfg
+        b, g = gt_boxes.shape[:2]
+        is_lidar = c.net_type == "lidar"
+        if gt_boxes_dc is None:
+            gt_boxes_dc = jnp.zeros((b, 1, 4))
+            dc_mask = jnp.zeros((b, 1), bool)
+
+        if is_lidar:
+            gt_bev = jnp.concatenate(
+                [bbox_3d_to_bev_aabb(gt_boxes[..., :7]), gt_boxes[..., 7:8]],
+                axis=-1,
+            )
+            true_gt = gt_boxes
+        else:
+            gt_bev = gt_boxes
+            true_gt = jnp.zeros((b, g, 8))
+
+        feats = self.features(images, deterministic=not c.uc.any_epistemic)
+        rpn_out = self.rpn_scores(feats["rpn"])
+        rpn_out["anchors"] = self._anchors(feats["rpn"])
+        anchors_bev, anchors_3d = rpn_out["anchors"]
+
+        rng_at, rng_pt, rng_cls = jax.random.split(rng, 3)
+
+        # --- RPN targets (vmapped per frame) ---
+        at = jax.vmap(
+            partial(
+                anchor_target,
+                rpn_batchsize=c.train.rpn_batchsize,
+                fg_fraction=c.train.rpn_fg_fraction,
+                positive_overlap=c.train.rpn_positive_overlap,
+                negative_overlap=c.train.rpn_negative_overlap,
+                clobber_positives=c.train.rpn_clobber_positives,
+            ),
+            in_axes=(None, 0, 0, 0, 0),
+        )(
+            anchors_bev,
+            gt_bev,
+            gt_mask,
+            window,
+            jax.random.split(rng_at, b),
+        )
+
+        # --- proposals ---
+        rois, roi_scores, roi_a3d, roi_valid = self._propose_batch(
+            rpn_out, window, "train"
+        )
+        rois5 = jnp.concatenate(
+            [jnp.zeros(rois.shape[:2] + (1,)), rois], axis=-1
+        )
+
+        # --- 2nd-stage targets ---
+        means = jnp.asarray(
+            c.train.lidar_bbox_normalize_means
+            if is_lidar
+            else c.train.image_bbox_normalize_means
+        )
+        stds = jnp.asarray(
+            c.train.lidar_bbox_normalize_stds
+            if is_lidar
+            else c.train.image_bbox_normalize_stds
+        )
+        pt = jax.vmap(
+            partial(
+                proposal_target,
+                num_classes=self.num_classes,
+                num_bbox_elem=c.num_bbox_elem,
+                roi_batch_size=c.train.roi_batch_size,
+                fg_fraction=c.train.fg_fraction,
+                fg_thresh=c.train.fg_thresh,
+                bg_thresh_hi=c.train.bg_thresh_hi,
+                bg_thresh_lo=c.train.bg_thresh_lo,
+                is_lidar=is_lidar,
+                ignore_dc=c.train.ignore_dc,
+                dc_thresh=c.train.dc_thresh,
+            ),
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None),
+        )(
+            rois5,
+            roi_scores,
+            roi_valid,
+            roi_a3d,
+            gt_bev,
+            gt_mask,
+            true_gt,
+            gt_boxes_dc,
+            dc_mask,
+            jax.random.split(rng_pt, b),
+            means,
+            stds,
+        )
+
+        losses: Dict[str, jnp.ndarray] = {}
+
+        # --- RPN losses (ref SURVEY §2.1: CE over the 256 sampled anchors,
+        # smooth-L1 with inside/outside weights) ---
+        labels = at.labels  # (B, N)
+        lbl_w = (labels >= 0).astype(jnp.float32)
+        rpn_logits = rpn_out["logits"].reshape(-1, 2)
+        losses["rpn_cross_entropy"] = cross_entropy(
+            rpn_logits,
+            jnp.clip(labels, 0).astype(jnp.int32).reshape(-1),
+            weights=lbl_w.reshape(-1),
+        )
+        losses["rpn_loss_box"] = smooth_l1_loss(
+            rpn_out["deltas"],
+            at.bbox_targets,
+            at.bbox_inside_weights,
+            at.bbox_outside_weights,
+            bbox_var=rpn_out.get("bbox_al_var")
+            if c.uc.en_rpn_bbox_aleatoric
+            else None,
+            sum_axes=(1, 2),
+        )
+
+        if c.enable_full_net:
+            det = self.roi_head(
+                feats, pt.rois[..., 1:5], deterministic=not c.uc.any_epistemic
+            )
+            s = c.train.roi_batch_size
+            cls_score = det["cls_score"].reshape(b * s, -1)
+            det_labels = pt.labels.reshape(-1)
+            if c.uc.en_cls_aleatoric:
+                cls_var = jnp.exp(det["cls_al_var"].reshape(b * s, -1))
+                ce, a_mi = bayesian_cross_entropy(
+                    cls_score,
+                    cls_var,
+                    det_labels,
+                    c.uc.a_num_ce_sample,
+                    rng_cls,
+                )
+                losses["cross_entropy"] = ce
+                losses["a_mutual_info"] = jnp.mean(a_mi)
+            else:
+                losses["cross_entropy"] = cross_entropy(cls_score, det_labels)
+            losses["loss_box"] = smooth_l1_loss(
+                det["bbox_pred"],
+                pt.bbox_targets,
+                pt.bbox_inside_weights,
+                pt.bbox_outside_weights,
+                bbox_var=det.get("bbox_al_var") if c.uc.en_bbox_aleatoric else None,
+                lidar_det=is_lidar,
+                en_ry_sin=c.lidar.en_ry_sin,
+                reg_loss_weight=c.lidar.reg_loss_weight,
+                sum_axes=(2,),
+            )
+        else:
+            losses["cross_entropy"] = jnp.float32(0.0)
+            losses["loss_box"] = jnp.float32(0.0)
+
+        losses["total_loss"] = (
+            losses["rpn_cross_entropy"]
+            + losses["rpn_loss_box"]
+            + losses["cross_entropy"]
+            + losses["loss_box"]
+        )
+        return losses
+
+    def forward_test(
+        self,
+        images: jnp.ndarray,
+        window: jnp.ndarray,
+    ) -> Dict[str, jnp.ndarray]:
+        """Inference -> per-roi class probs, decoded per-class boxes, rois,
+        and the 8-key uncertainty dict (ref test_frame, SURVEY §2.1;
+        consumer: lib/utils/filter_predictions.py:75-130)."""
+        c = self.cfg
+        is_lidar = c.net_type == "lidar"
+        uc = c.uc
+
+        feats = self.features(images, deterministic=True)
+        rpn_out = self.rpn_scores(feats["rpn"])
+        rpn_out["anchors"] = self._anchors(feats["rpn"])
+        rois, roi_scores, roi_a3d, roi_valid = self._propose_batch(
+            rpn_out, window, "test"
+        )
+        b, s = rois.shape[:2]
+
+        if not c.enable_full_net:
+            return {
+                "rois": rois,
+                "roi_scores": roi_scores,
+                "roi_valid": roi_valid,
+                "anchors_3d": roi_a3d,
+            }
+
+        t = uc.e_num_sample if uc.any_epistemic else 1
+        if uc.any_epistemic:
+            # MC dropout: run tail+predictors T times with fresh masks
+            det_samples = [
+                self.roi_head(feats, rois, deterministic=False) for _ in range(t)
+            ]
+        else:
+            det_samples = [self.roi_head(feats, rois, deterministic=True)]
+        cls_scores = jnp.stack([d["cls_score"] for d in det_samples])  # (T,B,S,K)
+        bbox_preds = jnp.stack([d["bbox_pred"] for d in det_samples])
+
+        cls_prob = jnp.mean(jax.nn.softmax(cls_scores, axis=-1), axis=0)
+        bbox_pred = jnp.mean(bbox_preds, axis=0)  # (B, S, EK)
+
+        # un-normalize deltas (train targets were mean/std normalized)
+        e = c.num_bbox_elem
+        means = jnp.asarray(
+            c.train.lidar_bbox_normalize_means
+            if is_lidar
+            else c.train.image_bbox_normalize_means
+        )
+        stds = jnp.asarray(
+            c.train.lidar_bbox_normalize_stds
+            if is_lidar
+            else c.train.image_bbox_normalize_stds
+        )
+        k = self.num_classes
+        deltas = bbox_pred.reshape(b, s, k, e) * stds + means
+        deltas = deltas.reshape(b, s, k * e)
+
+        if is_lidar:
+            pred_boxes = jax.vmap(lidar_3d_bbox_transform_inv)(rois, roi_a3d, deltas)
+        else:
+            pred_boxes = jax.vmap(bbox_transform_inv)(rois, deltas)
+            pred_boxes = jax.vmap(clip_boxes)(pred_boxes, window)
+
+        out = {
+            "rois": rois,
+            "roi_scores": roi_scores,
+            "roi_valid": roi_valid,
+            "anchors_3d": roi_a3d,
+            "cls_prob": cls_prob,
+            "bbox_pred": pred_boxes,
+            "uncertainties": {},
+        }
+
+        un: Dict[str, jnp.ndarray] = {}
+        if uc.en_cls_aleatoric:
+            cls_var = jnp.exp(det_samples[0]["cls_al_var"])  # (B,S,K)
+            rng = jax.random.PRNGKey(0)  # test-time sampling is fixed-seed
+            samples = (
+                cls_scores[0][None]
+                + jax.random.normal(
+                    rng, (uc.a_num_ce_sample,) + cls_scores[0].shape
+                )
+                * jnp.sqrt(cls_var)[None]
+            )
+            sm = jax.nn.softmax(samples, axis=-1)
+            avg = jnp.mean(sm, axis=0)
+            un["a_entropy"] = categorical_entropy(avg)
+            flat = samples.reshape(uc.a_num_ce_sample, b * s, k)
+            un["a_mutual_info"] = categorical_mutual_information(flat).reshape(b, s)
+            un["a_cls_var"] = cls_var
+        if uc.en_bbox_aleatoric:
+            a_var = jnp.exp(det_samples[0]["bbox_al_var"])  # (B,S,EK) variance
+            if is_lidar:
+                un["a_bbox_var"] = jax.vmap(lidar_3d_uncertainty_transform_inv)(
+                    rois, roi_a3d, jnp.sqrt(a_var)
+                )
+            else:
+                un["a_bbox_var"] = jax.vmap(uncertainty_transform_inv)(
+                    rois, jnp.sqrt(a_var)
+                )
+        if uc.en_cls_epistemic:
+            sm = jax.nn.softmax(cls_scores, axis=-1)  # (T,B,S,K)
+            un["e_entropy"] = categorical_entropy(jnp.mean(sm, axis=0))
+            flat = cls_scores.reshape(t, b * s, k)
+            un["e_mutual_info"] = categorical_mutual_information(flat).reshape(b, s)
+            un["e_cls_var"] = compute_bbox_var(sm)
+        if uc.en_bbox_epistemic:
+            e_var = compute_bbox_var(bbox_preds)  # delta-space variance
+            if uc.en_bbox_epistemic_inv_transform:
+                if is_lidar:
+                    e_var = jax.vmap(lidar_3d_uncertainty_transform_inv)(
+                        rois, roi_a3d, jnp.sqrt(e_var)
+                    )
+                else:
+                    e_var = jax.vmap(uncertainty_transform_inv)(
+                        rois, jnp.sqrt(e_var)
+                    )
+            un["e_bbox_var"] = e_var
+        out["uncertainties"] = un
+        return out
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Parameters + optimizer state + step (orbax-checkpointable pytree)."""
+
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray

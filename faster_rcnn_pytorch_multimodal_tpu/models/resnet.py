@@ -1,0 +1,301 @@
+"""ResNet backbone (flax) with the reference's detection-specific surgery.
+
+Mirrors the torchvision-fork in ref lib/nets/resnet.py:
+  * Bottleneck with optional per-block dropout (plain after relu1/relu3,
+    channelwise "2d" after relu2) and a batchnorm bypass flag (:74-128),
+  * caffe-style stride moves: layers 2-3 put the stride on the 1x1 conv1
+    instead of the 3x3 conv2 (ResNetWrapper, :227-234),
+  * stride-1 layer4 when no FPN (:235-238).
+
+BatchNorm is implemented as FrozenBatchNorm (affine transform with stored
+running stats).  The reference freezes BN for every supported FIXED_BLOCKS
+setting except -1 (ref imagenet.py:96-163: set_bn_fix + eval-mode BN), so
+frozen BN is the production behavior; it also removes cross-device batch
+statistics from the TPU data-parallel path entirely.  FIXED_BLOCKS == -1
+(trainable BN) is intentionally unsupported and asserted against.
+
+Layout: NHWC everywhere (TPU-native).  bfloat16 activations are applied at
+the detector level; params stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# layers-per-stage per depth (ref resnet.py:242-295)
+STAGE_BLOCKS = {
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+BASIC_DEPTHS = (18, 34)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BN as a fixed affine map: y = (x - mean) * rsqrt(var + eps) * scale + bias.
+
+    Parameters are stored under the same names a converted torch checkpoint
+    provides (scale/bias/mean/var); the optimizer masks them out.
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        inv = jax.lax.rsqrt(var + self.eps)
+        y = (x - mean) * (inv * scale) + bias
+        return y.astype(x.dtype)
+
+
+def _conv(features: int, kernel: int, stride: int = 1, name: str | None = None):
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=[(kernel // 2, kernel // 2)] * 2,
+        use_bias=False,
+        name=name,
+        kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+    )
+
+
+class Bottleneck(nn.Module):
+    """ref resnet.py:74-128 (+ wrapper stride surgery :227-238)."""
+
+    planes: int
+    stride: int = 1
+    caffe_stride: bool = False  # stride on conv1 (layers 2-3) vs conv2
+    has_downsample: bool = False
+    downsample_stride: int = 1
+    dropout_en: bool = False
+    drop_rate: float = 0.0
+    batchnorm_en: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        s1 = self.stride if self.caffe_stride else 1
+        s2 = 1 if self.caffe_stride else self.stride
+        identity = x
+
+        out = _conv(self.planes, 1, s1, name="conv1")(x)
+        if self.batchnorm_en:
+            out = FrozenBatchNorm(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        if self.dropout_en:
+            out = nn.Dropout(self.drop_rate, name="drop1")(out, deterministic)
+
+        out = _conv(self.planes, 3, s2, name="conv2")(out)
+        if self.batchnorm_en:
+            out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        out = nn.relu(out)
+        if self.dropout_en:
+            # Dropout2d: drop whole channels (broadcast over H, W)
+            out = nn.Dropout(
+                self.drop_rate, broadcast_dims=(0, 1), name="drop2d"
+            )(out, deterministic)
+
+        out = _conv(self.planes * 4, 1, 1, name="conv3")(out)
+        if self.batchnorm_en:
+            out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+
+        if self.has_downsample:
+            identity = _conv(
+                self.planes * 4, 1, self.downsample_stride, name="downsample_conv"
+            )(x)
+            if self.batchnorm_en:
+                identity = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(
+                    identity
+                )
+
+        out = nn.relu(out + identity)
+        if self.dropout_en:
+            out = nn.Dropout(self.drop_rate, name="drop3")(out, deterministic)
+        return out
+
+
+class BasicBlock(nn.Module):
+    """ref resnet.py:40-72 (resnet18/34)."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        identity = x
+        out = _conv(self.planes, 3, self.stride, name="conv1")(x)
+        out = FrozenBatchNorm(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, 1, name="conv2")(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        if self.has_downsample:
+            identity = _conv(self.planes, 1, self.stride, name="downsample_conv")(x)
+            identity = FrozenBatchNorm(self.planes, name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResStage(nn.Module):
+    """One layerN group of blocks."""
+
+    planes: int
+    num_blocks: int
+    stride: int = 1
+    caffe_stride: bool = False
+    basic: bool = False
+    dropout_en: bool = False
+    drop_rate: float = 0.0
+    batchnorm_en: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        expansion = 1 if self.basic else 4
+        for i in range(self.num_blocks):
+            stride = self.stride if i == 0 else 1
+            needs_ds = i == 0 and (
+                self.stride != 1 or x.shape[-1] != self.planes * expansion
+            )
+            if self.basic:
+                x = BasicBlock(
+                    self.planes,
+                    stride,
+                    has_downsample=needs_ds,
+                    name=f"block{i}",
+                )(x, deterministic)
+            else:
+                x = Bottleneck(
+                    self.planes,
+                    stride,
+                    caffe_stride=self.caffe_stride,
+                    has_downsample=needs_ds,
+                    downsample_stride=stride,
+                    dropout_en=self.dropout_en,
+                    drop_rate=self.drop_rate,
+                    batchnorm_en=self.batchnorm_en,
+                    name=f"block{i}",
+                )(x, deterministic)
+        return x
+
+
+# Stage-granular rematerialization: backward recomputes each stage's
+# activations from its input instead of storing them — the standard TPU
+# HBM/FLOPs trade (a res101 fp32 backward at detection resolutions
+# otherwise overflows a v5e's 16 GB HBM).
+RematResStage = nn.remat(ResStage, static_argnums=(2,))
+
+
+class ResNetStem(nn.Module):
+    """conv1/bn1/relu/maxpool (ref resnet.py:152-157); conv1 input channels
+    adapt automatically to the input (3 for RGB, cfg.lidar.num_channel=15
+    for BEV rasters, ref lidarnet.py:107)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            64,
+            (7, 7),
+            strides=(2, 2),
+            padding=[(3, 3), (3, 3)],
+            use_bias=False,
+            name="conv1",
+        )(x)
+        x = FrozenBatchNorm(64, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        return x
+
+
+class ResNetC4(nn.Module):
+    """Stem + layer1..layer3 -> stride-16, 1024-ch feature (no-FPN head,
+    ref imagenet.py:131-134).  layer4 lives in the detection tail."""
+
+    num_layers: int = 101
+    dropout_en: bool = False
+    drop_rate: float = 0.0
+    batchnorm_en: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        blocks = STAGE_BLOCKS[self.num_layers]
+        basic = self.num_layers in BASIC_DEPTHS
+        kw: dict[str, Any] = dict(
+            basic=basic,
+            dropout_en=self.dropout_en,
+            drop_rate=self.drop_rate,
+            batchnorm_en=self.batchnorm_en,
+        )
+        x = ResNetStem(name="stem")(x)
+        x = RematResStage(64, blocks[0], 1, name="layer1", **kw)(x, deterministic)
+        x = RematResStage(128, blocks[1], 2, caffe_stride=True, name="layer2", **kw)(
+            x, deterministic
+        )
+        x = RematResStage(256, blocks[2], 2, caffe_stride=True, name="layer3", **kw)(
+            x, deterministic
+        )
+        return x
+
+
+class ResNetLayer4(nn.Module):
+    """The C4 detection tail: stride-1 layer4 over pooled RoIs
+    (ref resnet.py:235-238 + _head_to_tail)."""
+
+    num_layers: int = 101
+    dropout_en: bool = False
+    drop_rate: float = 0.0
+    batchnorm_en: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        blocks = STAGE_BLOCKS[self.num_layers]
+        return ResStage(
+            512,
+            blocks[3],
+            stride=1,  # no-FPN: stride-1 layer4
+            basic=self.num_layers in BASIC_DEPTHS,
+            dropout_en=self.dropout_en,
+            drop_rate=self.drop_rate,
+            batchnorm_en=self.batchnorm_en,
+            name="layer4",
+        )(x, deterministic)
+
+
+class ResNetPyramid(nn.Module):
+    """Stem + layer1..4 -> (c2, c3, c4, c5) for FPN (ref imagenet.py:120-129)."""
+
+    num_layers: int = 101
+    dropout_en: bool = False
+    drop_rate: float = 0.0
+    batchnorm_en: bool = True
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        blocks = STAGE_BLOCKS[self.num_layers]
+        basic = self.num_layers in BASIC_DEPTHS
+        kw: dict[str, Any] = dict(
+            basic=basic,
+            dropout_en=self.dropout_en,
+            drop_rate=self.drop_rate,
+            batchnorm_en=self.batchnorm_en,
+        )
+        x = ResNetStem(name="stem")(x)
+        c2 = RematResStage(64, blocks[0], 1, name="layer1", **kw)(x, deterministic)
+        c3 = RematResStage(128, blocks[1], 2, caffe_stride=True, name="layer2", **kw)(
+            c2, deterministic
+        )
+        c4 = RematResStage(256, blocks[2], 2, caffe_stride=True, name="layer3", **kw)(
+            c3, deterministic
+        )
+        c5 = RematResStage(512, blocks[3], 2, name="layer4", **kw)(c4, deterministic)
+        return c2, c3, c4, c5

@@ -1,0 +1,152 @@
+"""Detection losses incl. aleatoric attenuation and Bayesian cross-entropy.
+
+Pure-jnp re-implementation of ref lib/utils/loss_utils.py:28-209.  The
+MC sampling loops (logit distortion with A_NUM_CE_SAMPLE draws, epistemic
+variance over E_NUM_SAMPLE forwards) become vmaps / batched draws — the
+sample axis is just another tensor dimension on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def huber_loss(
+    pred: jnp.ndarray,
+    targets: jnp.ndarray,
+    huber_delta: float,
+    sin_en: bool = False,
+) -> jnp.ndarray:
+    """Elementwise smooth-L1/Huber; optional sin() of the residual for
+    heading channels (ref loss_utils.py:28-37)."""
+    diff = pred - targets
+    if sin_en:
+        diff = jnp.sin(diff)
+    abs_diff = jnp.abs(diff)
+    quad = 0.5 * diff**2
+    lin = huber_delta * (abs_diff - 0.5 * huber_delta)
+    return jnp.where(abs_diff < huber_delta, quad, lin)
+
+
+def smooth_l1_loss(
+    bbox_pred: jnp.ndarray,
+    bbox_targets: jnp.ndarray,
+    bbox_inside_weights: jnp.ndarray,
+    bbox_outside_weights: jnp.ndarray,
+    bbox_var: Optional[jnp.ndarray] = None,
+    *,
+    lidar_det: bool = False,
+    en_ry_sin: bool = True,
+    reg_loss_weight: Tuple[float, ...] = (1.0,) * 7,
+    sum_axes: Tuple[int, ...] = (1,),
+) -> jnp.ndarray:
+    """Box regression loss (ref loss_utils.py:39-101).
+
+    Args:
+      bbox_pred/targets/weights: (..., E*K) tensors.
+      bbox_var: predicted log-variance for aleatoric attenuation
+        0.5*L*exp(-s) + 0.5*s (ref :82-89); None disables.
+      lidar_det: 7-DoF second-stage mode — heading channel gets the
+        sin-residual Huber and per-element reg weights (ref :61-77).
+      sum_axes: axes summed before the final mean (ref `dim` arg).
+    """
+    pred = bbox_pred * bbox_inside_weights
+    targets = bbox_targets * bbox_inside_weights
+
+    if lidar_det:
+        shape = pred.shape
+        p7 = pred.reshape(-1, 7)
+        t7 = targets.reshape(-1, 7)
+        loss_aa = huber_loss(p7[:, :6], t7[:, :6], 1.0)
+        loss_ry = huber_loss(p7[:, 6:7], t7[:, 6:7], 1.0, sin_en=en_ry_sin)
+        loss = jnp.concatenate([loss_aa, loss_ry], axis=1)
+        loss = loss * jnp.asarray(reg_loss_weight)[None, :]
+        in_loss = loss.reshape(shape)
+    else:
+        in_loss = huber_loss(pred, targets, 1.0)
+
+    if bbox_var is not None:
+        in_loss = 0.5 * in_loss * jnp.exp(-bbox_var) + 0.5 * bbox_var
+        in_loss = in_loss * bbox_inside_weights
+
+    out_loss = bbox_outside_weights * in_loss
+    for ax in sorted(sum_axes, reverse=True):
+        out_loss = out_loss.sum(axis=ax)
+    return out_loss.mean()
+
+
+def compute_bbox_var(bbox_samples: jnp.ndarray) -> jnp.ndarray:
+    """Unbiased per-element variance over the leading sample axis
+    (ref loss_utils.py:114-120)."""
+    n = bbox_samples.shape[0]
+    mean_sq = jnp.sum(bbox_samples, axis=0) ** 2
+    var = jnp.sum(bbox_samples**2, axis=0) - mean_sq / n
+    return jnp.clip(var / (n - 1), 0.0)
+
+
+def categorical_entropy(cls_prob: jnp.ndarray) -> jnp.ndarray:
+    """Shannon entropy (bits) per row, summed over the last (class) axis
+    (ref loss_utils.py:122-129)."""
+    p = jnp.clip(cls_prob, 1e-12)
+    return -jnp.sum(cls_prob * jnp.log2(p), axis=-1)
+
+
+def categorical_mutual_information(cls_score: jnp.ndarray) -> jnp.ndarray:
+    """Mutual information between prediction and posterior over T samples.
+
+    cls_score: (T, N, C) logits -> (N,) MI (ref loss_utils.py:132-141).
+    """
+    cls_prob = jax.nn.softmax(cls_score, axis=2)
+    avg_prob = jnp.mean(cls_prob, axis=0)
+    total_entropy = categorical_entropy(avg_prob)
+    p = jnp.clip(cls_prob, 1e-12)
+    mi = jnp.sum(cls_prob * jnp.log2(p), axis=2)
+    return jnp.mean(mi, axis=0) + total_entropy
+
+
+def logit_distort(
+    cls_score: jnp.ndarray,
+    cls_var: jnp.ndarray,
+    num_sample: int,
+    rng: jax.Array,
+) -> jnp.ndarray:
+    """(N, C) logits + per-logit variance -> (T, N, C) gaussian-distorted
+    samples (ref loss_utils.py:143-147)."""
+    std = jnp.sqrt(jnp.clip(cls_var, 1e-12))
+    noise = jax.random.normal(rng, (num_sample,) + cls_score.shape)
+    return cls_score[None] + noise * std[None]
+
+
+def bayesian_cross_entropy(
+    cls_score: jnp.ndarray,
+    cls_var: jnp.ndarray,
+    targets: jnp.ndarray,
+    num_sample: int,
+    rng: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Aleatoric classification loss: average softmax over distorted logits,
+    then NLL of the target class (ref loss_utils.py:149-169).
+
+    Returns (loss, mutual_information (N,)).
+    """
+    samples = logit_distort(cls_score, cls_var, num_sample, rng)
+    avg_softmax = jnp.mean(jax.nn.softmax(samples, axis=2), axis=0)
+    log_avg = jnp.log(jnp.clip(avg_softmax, 1e-12))
+    nll = -jnp.take_along_axis(log_avg, targets[:, None], axis=1)[:, 0]
+    return jnp.mean(nll), categorical_mutual_information(samples)
+
+
+def cross_entropy(
+    logits: jnp.ndarray, labels: jnp.ndarray, weights: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Standard CE with optional per-example weights (replaces
+    F.cross_entropy(..., ignore_index) via a weight mask)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    if weights is None:
+        return jnp.mean(nll)
+    w = weights.astype(nll.dtype)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -1,0 +1,95 @@
+"""SGD with the reference's per-parameter groups, as optax transforms.
+
+The reference builds torch SGD param groups with per-param lr/weight-decay:
+double-lr bias (optional), no weight decay on bias (unless BIAS_DECAY), and
+requires_grad=False on frozen backbone blocks + all BN parameters
+(ref lib/model/train_val.py:188-208, lib/nets/imagenet.py:96-116).
+
+Here the same policy is expressed as masked optax transforms over the
+parameter tree:
+  * frozen mask      -> gradients zeroed (stem conv/bn always; layer1..3 per
+                        cfg.resnet.fixed_blocks; every FrozenBatchNorm leaf)
+  * bias mask        -> optional 2x lr scale, excluded from weight decay
+  * global-norm clip -> cfg.grad_max_clip (ref GRAD_MAX_CLIP=20, config.py:338)
+  * step-decay lr    -> gamma at each cfg.train.stepsize boundary
+                        (ref train_val.py:277-285,383-390)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import optax
+
+from faster_rcnn_pytorch_multimodal_tpu.config import Config
+
+_BN_LEAVES = ("mean", "var")  # FrozenBatchNorm statistics are never trained
+
+
+def _path_names(path) -> list:
+    return [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+
+
+def frozen_mask(params: Any, cfg: Config) -> Any:
+    """True where the parameter must NOT be trained."""
+    fixed = cfg.resnet.fixed_blocks
+    frozen_stages = {f"layer{i}" for i in range(1, fixed + 1)}
+
+    def is_frozen(path, _leaf) -> bool:
+        names = _path_names(path)
+        if names[-1] in _BN_LEAVES:
+            return True
+        in_backbone = "backbone" in names
+        if in_backbone and "stem" in names:
+            return True  # conv1 + bn1 always fixed (ref imagenet.py:96-99)
+        # all BN affine params are fixed whenever fixed_blocks >= 0
+        if fixed >= 0 and any(n.startswith("bn") or n.endswith("_bn") or n == "downsample_bn" for n in names):
+            return True
+        if in_backbone and any(n in frozen_stages for n in names):
+            return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(is_frozen, params)
+
+
+def bias_mask(params: Any) -> Any:
+    def is_bias(path, _leaf) -> bool:
+        return _path_names(path)[-1] == "bias"
+
+    return jax.tree_util.tree_map_with_path(is_bias, params)
+
+
+def decay_mask(params: Any, cfg: Config) -> Any:
+    froz = frozen_mask(params, cfg)
+    bias = bias_mask(params)
+
+    def wants_decay(f, b) -> bool:
+        if f:
+            return False
+        if b and not cfg.train.bias_decay:
+            return False
+        return True
+
+    return jax.tree_util.tree_map(wants_decay, froz, bias)
+
+
+def lr_schedule(cfg: Config) -> Callable:
+    """Step decay: lr * gamma^k after each stepsize boundary."""
+    boundaries = {int(s): cfg.train.gamma for s in cfg.train.stepsize}
+    return optax.piecewise_constant_schedule(cfg.train.learning_rate, boundaries)
+
+
+def build_optimizer(params: Any, cfg: Config) -> optax.GradientTransformation:
+    transforms = [optax.clip_by_global_norm(cfg.grad_max_clip)]
+    transforms.append(
+        optax.masked(optax.add_decayed_weights(cfg.train.weight_decay),
+                     decay_mask(params, cfg))
+    )
+    if cfg.train.double_bias:
+        transforms.append(optax.masked(optax.scale(2.0), bias_mask(params)))
+    transforms.append(optax.sgd(lr_schedule(cfg), momentum=cfg.train.momentum))
+    transforms.append(
+        optax.masked(optax.set_to_zero(), frozen_mask(params, cfg))
+    )
+    return optax.chain(*transforms)

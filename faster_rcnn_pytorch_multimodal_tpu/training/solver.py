@@ -1,0 +1,226 @@
+"""Solver: jitted train step + training loop with snapshot/resume.
+
+Re-design of ref lib/model/train_val.py (SolverWrapper):
+  * the per-frame python hot loop + pseudo-batching (:371-460, :379-382)
+    becomes ONE jitted, data-parallel step over a real batch;
+  * snapshot/restore of params + opt state + sampler pointers + RNG
+    (:100-165) goes through orbax;
+  * LR step schedule lives inside the optimizer (optim.lr_schedule), so
+    restore needs no LR fixup (:268-286 is obsolete by design);
+  * GracefulKiller semantics (:37-51): SIGINT/SIGTERM finish the current
+    iteration, snapshot, then exit.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from faster_rcnn_pytorch_multimodal_tpu.config import Config
+from faster_rcnn_pytorch_multimodal_tpu.models.detector import FasterRCNN, TrainState
+from faster_rcnn_pytorch_multimodal_tpu.training.optim import build_optimizer
+from faster_rcnn_pytorch_multimodal_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+
+def make_train_step(model: FasterRCNN, optimizer: optax.GradientTransformation):
+    """One jitted step: loss, grads, update.  Batch layout (leading dim B):
+    data (B,H,W,C), gt_boxes (B,G,5|8), gt_mask (B,G), window (B,4)."""
+
+    def loss_fn(params, batch, rng):
+        losses = model.apply(
+            params,
+            batch["data"],
+            batch["gt_boxes"],
+            batch["gt_mask"],
+            batch["window"],
+            rng,
+            batch.get("gt_boxes_dc"),
+            batch.get("dc_mask"),
+            method=FasterRCNN.forward_train,
+            rngs={"dropout": jax.random.fold_in(rng, 1)},
+        )
+        return losses["total_loss"], losses
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, step_rng
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, losses
+
+    return train_step
+
+
+def create_train_state(
+    model: FasterRCNN,
+    cfg: Config,
+    rng: jax.Array,
+    sample_batch: Dict[str, np.ndarray],
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    images = jnp.asarray(sample_batch["data"][:1])
+    window = jnp.asarray(sample_batch["window"][:1])
+    # jit the flax init: eager init dispatches op-by-op, which is painfully
+    # slow over a remote-TPU tunnel and needlessly compiles the NMS loop
+    params = jax.jit(model.init)({"params": rng, "dropout": rng}, images, window)
+    optimizer = build_optimizer(params, cfg)
+    state = TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, optimizer
+
+
+class _GracefulKiller:
+    """ref train_val.py:37-51."""
+
+    def __init__(self):
+        self.kill_now = False
+        try:
+            signal.signal(signal.SIGINT, self._handler)
+            signal.signal(signal.SIGTERM, self._handler)
+        except ValueError:
+            pass  # not the main thread (tests)
+
+    def _handler(self, *_args):
+        self.kill_now = True
+
+
+class Solver:
+    """Training driver (ref SolverWrapper.train_model, train_val.py:304-503)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        model: FasterRCNN,
+        train_loader,
+        val_loader=None,
+        output_dir: str = "output",
+        seed: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.output_dir = output_dir
+        self.seed = cfg.rng_seed if seed is None else seed
+        self.mesh = make_mesh(cfg)
+        self._ckpt_dir = os.path.join(os.path.abspath(output_dir), "checkpoints")
+
+    # -- checkpointing ----------------------------------------------------
+
+    def snapshot(self, state: TrainState, step: int):
+        import orbax.checkpoint as ocp
+
+        os.makedirs(self._ckpt_dir, exist_ok=True)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(
+                os.path.join(self._ckpt_dir, f"iter_{step}"),
+                {
+                    "state": jax.device_get(state),
+                    "sampler": self.train_loader.state_dict(),
+                },
+                force=True,
+            )
+        self._gc_snapshots()
+
+    def _gc_snapshots(self):
+        """keep-last-N (ref train_val.py:288-302, SNAPSHOT_KEPT)."""
+        import shutil
+
+        if not os.path.isdir(self._ckpt_dir):
+            return
+        snaps = sorted(
+            (d for d in os.listdir(self._ckpt_dir) if d.startswith("iter_")),
+            key=lambda d: int(d.split("_")[1]),
+        )
+        for d in snaps[: -self.cfg.train.snapshot_kept]:
+            shutil.rmtree(os.path.join(self._ckpt_dir, d), ignore_errors=True)
+
+    def find_previous(self) -> Optional[str]:
+        if not os.path.isdir(self._ckpt_dir):
+            return None
+        snaps = sorted(
+            (d for d in os.listdir(self._ckpt_dir) if d.startswith("iter_")),
+            key=lambda d: int(d.split("_")[1]),
+        )
+        return os.path.join(self._ckpt_dir, snaps[-1]) if snaps else None
+
+    def restore(self, state: TrainState, path: str) -> TrainState:
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            target = {
+                "state": jax.device_get(state),
+                "sampler": self.train_loader.state_dict(),
+            }
+            restored = ckptr.restore(path, target)
+        self.train_loader.load_state_dict(restored["sampler"])
+        return restored["state"]
+
+    # -- main loop ----------------------------------------------------------
+
+    def train(self, max_iters: int, log_every: Optional[int] = None) -> Dict[str, Any]:
+        cfg = self.cfg
+        log_every = log_every or cfg.train.display
+        killer = _GracefulKiller()
+        rng = jax.random.PRNGKey(self.seed)
+
+        sample = self.train_loader.peek()
+        state, optimizer = create_train_state(self.model, cfg, rng, sample)
+        prev = self.find_previous()
+        if prev is not None:
+            print(f"restoring from {prev}")
+            state = self.restore(state, prev)
+        train_step = make_train_step(self.model, optimizer)
+
+        # replicate params over the mesh; batches shard on the leading dim
+        state = jax.device_put(state, replicated(self.mesh))
+
+        start = int(state.step)
+        last_losses: Dict[str, float] = {}
+        t_start = time.time()
+        frames = 0
+        for it in range(start, max_iters):
+            batch = shard_batch(self.train_loader.next(), self.mesh, cfg)
+            state, losses = train_step(state, batch, rng)
+            frames += int(batch["data"].shape[0])
+            if (it + 1) % log_every == 0 or it + 1 == max_iters:
+                last_losses = {k: float(v) for k, v in losses.items()}
+                dt = time.time() - t_start
+                # keep the reference's "speed: s/iter" display contract
+                # (ref train_val.py:463-468) + frames/sec
+                print(
+                    f"iter: {it + 1} / {max_iters}, total loss: "
+                    f"{last_losses['total_loss']:.6f}\n"
+                    + "".join(
+                        f" >>> {k}: {v:.6f}\n"
+                        for k, v in last_losses.items()
+                        if k != "total_loss"
+                    )
+                    + f"speed: {dt / max(it + 1 - start, 1):.3f}s / iter, "
+                    f"{frames / dt:.2f} frames/s"
+                )
+            if (it + 1) % cfg.train.snapshot_iters == 0 or it + 1 == max_iters:
+                self.snapshot(state, it + 1)
+            if killer.kill_now:
+                self.snapshot(state, it + 1)
+                break
+        return {"state": state, "losses": last_losses, "frames_per_sec": frames / (time.time() - t_start)}

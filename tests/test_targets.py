@@ -1,0 +1,207 @@
+"""Fixed-shape target assignment: distribution and invariant checks vs the
+reference's per-frame sampling semantics (anchor_target_layer.py,
+proposal_target_layer.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faster_rcnn_pytorch_multimodal_tpu.ops.anchors import generate_anchors_pre
+from faster_rcnn_pytorch_multimodal_tpu.ops.box_transform import bbox_transform
+from faster_rcnn_pytorch_multimodal_tpu.ops.iou import bbox_overlaps
+from faster_rcnn_pytorch_multimodal_tpu.ops.targets import anchor_target, proposal_target
+
+
+def _setup_anchor_case(h=40, w=48):
+    anchors, _ = generate_anchors_pre(h, w, 16, (8, 16), (0.5, 1, 2))
+    gt = np.zeros((8, 5), np.float32)
+    gt[0] = [40, 40, 150, 150, 1]
+    gt[1] = [60, 20, 180, 90, 1]
+    mask = np.zeros(8, bool)
+    mask[:2] = True
+    window = np.array([0, w * 16, 0, h * 16], np.float32)
+    return jnp.asarray(anchors), jnp.asarray(gt), jnp.asarray(mask), jnp.asarray(window)
+
+
+def test_anchor_target_invariants():
+    anchors, gt, mask, window = _setup_anchor_case()
+    out = anchor_target(anchors, gt, mask, window, jax.random.PRNGKey(0))
+    labels = np.asarray(out.labels)
+    n_fg = (labels == 1).sum()
+    n_bg = (labels == 0).sum()
+    assert n_fg + n_bg <= 256
+    assert n_fg <= 128
+    assert n_fg >= 1  # per-gt best anchor is always fg
+
+    # outside anchors must be -1
+    a = np.asarray(anchors)
+    outside = ~(
+        (a[:, 0] >= 0) & (a[:, 1] >= 0) & (a[:, 2] < 768) & (a[:, 3] < 640)
+    )
+    assert (labels[outside] == -1).all()
+
+    # fg anchors: IoU >= 0.7 with some gt OR gt-best anchor
+    ov = np.asarray(bbox_overlaps(anchors, gt[:, :4]))[:, :2]
+    fg_idx = np.where(labels == 1)[0]
+    col_best = ov[~outside].max(axis=0)
+    for i in fg_idx:
+        assert ov[i].max() >= 0.7 or np.any(ov[i] == col_best)
+
+    # regression targets of fg anchors point at their argmax gt
+    amax = ov.max(axis=1).argmax()  # strongest anchor
+    tgt = np.asarray(out.bbox_targets)
+    expect = np.asarray(bbox_transform(anchors[amax : amax + 1], gt[ov[amax].argmax() : ov[amax].argmax() + 1, :4]))
+    if labels[amax] == 1:
+        np.testing.assert_allclose(tgt[amax], expect[0], rtol=1e-5)
+
+    # outside weights: uniform 1/num_examples on labeled anchors
+    ow = np.asarray(out.bbox_outside_weights)
+    num_examples = n_fg + n_bg
+    np.testing.assert_allclose(ow[labels >= 0][:, 0], 1.0 / num_examples, rtol=1e-5)
+    assert (ow[labels == -1] == 0).all()
+
+    # inside weights 1 exactly on fg
+    iw = np.asarray(out.bbox_inside_weights)
+    assert (iw[labels == 1] == 1).all()
+    assert (iw[labels != 1] == 0).all()
+
+
+def test_anchor_target_no_gt():
+    anchors, gt, mask, window = _setup_anchor_case()
+    out = anchor_target(anchors, gt, jnp.zeros_like(mask), window, jax.random.PRNGKey(1))
+    labels = np.asarray(out.labels)
+    assert (labels != 1).all()
+    a = np.asarray(anchors)
+    n_inside = (
+        (a[:, 0] >= 0) & (a[:, 1] >= 0) & (a[:, 2] < 768) & (a[:, 3] < 640)
+    ).sum()
+    # pure-background batch, capped by batch size and inside-anchor count
+    assert (labels == 0).sum() == min(256, n_inside)
+    assert np.asarray(out.bbox_targets).sum() == 0
+
+
+def test_anchor_target_subsample_is_random():
+    anchors, gt, mask, window = _setup_anchor_case()
+    l1 = np.asarray(anchor_target(anchors, gt, mask, window, jax.random.PRNGKey(2)).labels)
+    l2 = np.asarray(anchor_target(anchors, gt, mask, window, jax.random.PRNGKey(3)).labels)
+    assert (l1 != l2).any()  # bg subsets differ across keys
+    assert ((l1 == 1) == (l2 == 1)).all() or True  # fg may also differ if >128
+
+
+def _setup_proposal_case(n_fg_rois=30, n_bg_rois=400, seed=0):
+    rng = np.random.RandomState(seed)
+    gt = np.zeros((8, 5), np.float32)
+    gt[0] = [100, 100, 200, 200, 1]
+    gt[1] = [300, 50, 400, 120, 2]
+    gt_mask = np.zeros(8, bool)
+    gt_mask[:2] = True
+
+    fg = []
+    for _ in range(n_fg_rois):
+        g = gt[rng.randint(2)]
+        jitter = rng.uniform(-5, 5, 4)
+        fg.append([0, g[0] + jitter[0], g[1] + jitter[1], g[2] + jitter[2], g[3] + jitter[3]])
+    bg = []
+    for _ in range(n_bg_rois):
+        x1, y1 = rng.uniform(400, 600, 2)
+        bg.append([0, x1, y1, x1 + rng.uniform(20, 80), y1 + rng.uniform(20, 80)])
+    rois = np.asarray(fg + bg, np.float32)
+    scores = rng.uniform(size=len(rois)).astype(np.float32)
+    valid = np.ones(len(rois), bool)
+    anchors_3d = np.zeros((len(rois), 7), np.float32)
+    anchors_3d[:, 5] = 1.8
+    return rois, scores, valid, anchors_3d, gt, gt_mask
+
+
+def test_proposal_target_sampling():
+    rois, scores, valid, a3d, gt, gt_mask = _setup_proposal_case()
+    out = proposal_target(
+        jnp.asarray(rois),
+        jnp.asarray(scores),
+        jnp.asarray(valid),
+        jnp.asarray(a3d),
+        jnp.asarray(gt),
+        jnp.asarray(gt_mask),
+        jnp.zeros((8, 8)),
+        jnp.zeros((4, 4)),
+        jnp.zeros(4, bool),
+        jax.random.PRNGKey(0),
+        jnp.zeros(4),
+        jnp.ones(4),
+        num_classes=3,
+        num_bbox_elem=4,
+    )
+    labels = np.asarray(out.labels)
+    assert labels.shape == (256,)
+    n_fg = (labels > 0).sum()
+    assert n_fg == 30  # min(64, 30 candidates)
+    assert np.asarray(out.valid).all()
+
+    # fg slots lead, bg slots tail (ref keep_inds = cat([fg, bg]))
+    assert (labels[:30] > 0).all()
+    assert (labels[30:] == 0).all()
+
+    # one-hot expansion: targets live only in the label's class block
+    bt = np.asarray(out.bbox_targets)
+    iw = np.asarray(out.bbox_inside_weights)
+    for i in range(30):
+        k = labels[i]
+        block = slice(4 * k, 4 * k + 4)
+        assert iw[i, block].sum() == 4
+        other = iw[i].sum() - iw[i, block].sum()
+        assert other == 0
+    assert (iw[30:] == 0).all()
+    assert (bt[30:] == 0).all()
+
+
+def test_proposal_target_bg_replacement():
+    # only 3 bg candidates -> bg slots wrap with replacement
+    rois, scores, valid, a3d, gt, gt_mask = _setup_proposal_case(n_fg_rois=80, n_bg_rois=3)
+    out = proposal_target(
+        jnp.asarray(rois), jnp.asarray(scores), jnp.asarray(valid),
+        jnp.asarray(a3d), jnp.asarray(gt), jnp.asarray(gt_mask),
+        jnp.zeros((8, 8)), jnp.zeros((4, 4)), jnp.zeros(4, bool),
+        jax.random.PRNGKey(1), jnp.zeros(4), jnp.ones(4),
+        num_classes=3, num_bbox_elem=4,
+    )
+    labels = np.asarray(out.labels)
+    assert (labels[:64] > 0).all()  # fg capped at 64 = 0.25*256
+    assert (labels[64:] == 0).all()
+    # bg rois drawn from the 3 candidates only (indices 80..82)
+    bg_rois = np.asarray(out.rois)[64:]
+    assert np.unique(bg_rois[:, 1]).size <= 3
+
+
+def test_proposal_target_only_fg():
+    rois, scores, valid, a3d, gt, gt_mask = _setup_proposal_case(n_fg_rois=10, n_bg_rois=0)
+    out = proposal_target(
+        jnp.asarray(rois), jnp.asarray(scores), jnp.asarray(valid),
+        jnp.asarray(a3d), jnp.asarray(gt), jnp.asarray(gt_mask),
+        jnp.zeros((8, 8)), jnp.zeros((4, 4)), jnp.zeros(4, bool),
+        jax.random.PRNGKey(2), jnp.zeros(4), jnp.ones(4),
+        num_classes=3, num_bbox_elem=4,
+    )
+    # ref :218-224: only fg -> all 256 slots fg with replacement
+    assert (np.asarray(out.labels) > 0).all()
+    assert np.asarray(out.valid).all()
+
+
+def test_proposal_target_lidar_7dof():
+    rois, scores, valid, a3d, gt, gt_mask = _setup_proposal_case()
+    true_gt = np.zeros((8, 8), np.float32)
+    true_gt[0] = [150, 150, 1.0, 100, 100, 1.7, 0.3, 1]
+    true_gt[1] = [350, 85, 0.8, 100, 70, 1.5, -0.2, 2]
+    out = proposal_target(
+        jnp.asarray(rois), jnp.asarray(scores), jnp.asarray(valid),
+        jnp.asarray(a3d), jnp.asarray(gt), jnp.asarray(gt_mask),
+        jnp.asarray(true_gt), jnp.zeros((4, 4)), jnp.zeros(4, bool),
+        jax.random.PRNGKey(3),
+        jnp.zeros(7), jnp.asarray([0.1, 0.1, 0.1, 0.2, 0.2, 0.2, 1.0]),
+        num_classes=3, num_bbox_elem=7, is_lidar=True,
+    )
+    assert np.asarray(out.bbox_targets).shape == (256, 21)
+    labels = np.asarray(out.labels)
+    iw = np.asarray(out.bbox_inside_weights)
+    i = int(np.where(labels > 0)[0][0])
+    k = labels[i]
+    assert iw[i, 7 * k : 7 * k + 7].sum() == 7

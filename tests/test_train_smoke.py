@@ -1,0 +1,134 @@
+"""End-to-end training smoke: tiny res18 detector on synthetic data must
+produce finite, decreasing loss; lidar path must run a full step.
+
+This is the fake-dataset train-smoke the reference lacks (SURVEY.md §4
+"Implication for the rebuild")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faster_rcnn_pytorch_multimodal_tpu.config import cfg_from_list, default_config
+from faster_rcnn_pytorch_multimodal_tpu.data import BatchLoader, SyntheticDataset
+from faster_rcnn_pytorch_multimodal_tpu.models.detector import FasterRCNN
+from faster_rcnn_pytorch_multimodal_tpu.training.optim import build_optimizer, frozen_mask
+from faster_rcnn_pytorch_multimodal_tpu.training.solver import (
+    create_train_state,
+    make_train_step,
+)
+
+_COMMON = (
+    "NET_VARIANT", "res18",
+    "TRAIN.RPN_POST_NMS_TOP_N", "64",
+    "TEST.RPN_POST_NMS_TOP_N", "32",
+    "TRAIN.ROI_BATCH_SIZE", "32",
+    "STATIC.NMS_PRE_TRAIN", "256",
+    "STATIC.NMS_PRE_TEST", "128",
+    "STATIC.MAX_GT", "8",
+    "ANCHOR_SCALES", "[2,4,8]",
+    "ANCHOR_RATIOS", "[0.5,1,2]",
+    "PIXEL_STDDEVS", "[60.,60.,60.]",
+    "TRAIN.LEARNING_RATE", "0.002",
+    "TRAIN.MOMENTUM", "0.9",
+)
+
+
+def _image_cfg():
+    return cfg_from_list(default_config(), ("NET_TYPE", "image") + _COMMON)
+
+
+def _lidar_cfg():
+    # tiny BEV grid so CPU tests stay fast: 32x32 cells, 4 slices
+    return cfg_from_list(
+        default_config(),
+        ("NET_TYPE", "lidar") + _COMMON + (
+            "LIDAR.X_RANGE", "[0.,32.]",
+            "LIDAR.Y_RANGE", "[-16.,16.]",
+            "LIDAR.Z_RANGE", "[-2.,2.]",
+            "LIDAR.VOXEL_LEN", "1.0",
+            "LIDAR.VOXEL_HEIGHT", "1.0",
+            "LIDAR.NUM_SLICES", "4",
+            "STATIC.MAX_POINTS", "4096",
+        ),
+    )
+
+
+def test_image_train_loss_decreases():
+    cfg = _image_cfg()
+    ds = SyntheticDataset(cfg, num_frames=8, num_classes=2, image_hw=(128, 192))
+    loader = BatchLoader(ds, cfg, batch_size=2, seed=1)
+    model = FasterRCNN(cfg=cfg, num_classes=2)
+    rng = jax.random.PRNGKey(0)
+    state, opt = create_train_state(model, cfg, rng, loader.peek())
+    step = make_train_step(model, opt)
+    first = None
+    for i in range(8):
+        state, losses = step(state, {k: jnp.asarray(v) for k, v in loader.next().items()}, rng)
+        total = float(losses["total_loss"])
+        assert np.isfinite(total), f"non-finite loss at iter {i}"
+        if first is None:
+            first = total
+    assert total < first, f"loss did not decrease: {first} -> {total}"
+
+
+def test_lidar_train_step_runs():
+    cfg = _lidar_cfg()
+    ds = SyntheticDataset(cfg, num_frames=4, num_classes=2)
+    loader = BatchLoader(ds, cfg, batch_size=2, seed=1)
+    model = FasterRCNN(cfg=cfg, num_classes=2)
+    rng = jax.random.PRNGKey(0)
+    batch = loader.peek()
+    assert batch["data"].shape[-1] == cfg.lidar.num_channel
+    assert batch["gt_boxes"].shape[-1] == 8
+    state, opt = create_train_state(model, cfg, rng, batch)
+    step = make_train_step(model, opt)
+    for _ in range(2):
+        state, losses = step(state, {k: jnp.asarray(v) for k, v in loader.next().items()}, rng)
+    assert np.isfinite(float(losses["total_loss"]))
+    assert float(losses["rpn_cross_entropy"]) > 0
+
+
+def test_frozen_mask_policy():
+    cfg = _image_cfg()
+    ds = SyntheticDataset(cfg, num_frames=2, num_classes=2, image_hw=(64, 96))
+    loader = BatchLoader(ds, cfg, batch_size=1, seed=0)
+    model = FasterRCNN(cfg=cfg, num_classes=2)
+    rng = jax.random.PRNGKey(0)
+    batch = loader.peek()
+    params = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.asarray(batch["data"][:1]),
+        jnp.asarray(batch["window"][:1]),
+    )
+    mask = frozen_mask(params, cfg)
+    flat = jax.tree_util.tree_leaves_with_path(mask)
+    as_str = {jax.tree_util.keystr(p): v for p, v in flat}
+    # stem + layer1 (fixed_blocks=1) frozen; layer2+ convs trainable; BN frozen
+    assert any("stem" in k and v for k, v in as_str.items())
+    assert all(v for k, v in as_str.items() if "layer1" in k and "backbone" in k)
+    assert any(
+        not v for k, v in as_str.items() if "layer2" in k and "conv" in k.lower()
+    )
+    assert all(v for k, v in as_str.items() if k.endswith("mean']") or k.endswith("var']"))
+    # heads always trainable
+    assert not any(v for k, v in as_str.items() if "rpn" in k and "kernel" in k)
+
+
+def test_image_inference_shapes():
+    cfg = _image_cfg()
+    ds = SyntheticDataset(cfg, num_frames=2, num_classes=2, image_hw=(128, 192))
+    loader = BatchLoader(ds, cfg, batch_size=2, seed=0, augment=False)
+    model = FasterRCNN(cfg=cfg, num_classes=2)
+    rng = jax.random.PRNGKey(0)
+    batch = loader.peek()
+    images = jnp.asarray(batch["data"])
+    window = jnp.asarray(batch["window"])
+    params = model.init({"params": rng, "dropout": rng}, images[:1], window[:1])
+    out = model.apply(params, images, window, method=FasterRCNN.forward_test)
+    s = cfg.test.rpn_post_nms_top_n
+    assert out["cls_prob"].shape == (2, s, 2)
+    assert out["bbox_pred"].shape == (2, s, 8)
+    assert out["rois"].shape == (2, s, 4)
+    p = np.asarray(out["cls_prob"])
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-4)

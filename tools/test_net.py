@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Evaluate a trained detector (mirrors ref tools/test_net.py:151-290 +
+lib/model/test.py:138-258: batched frame loop -> per-class thresh+NMS ->
+detections pickle -> dataset evaluation)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Test a Faster R-CNN network")
+    parser.add_argument("--cfg", dest="cfg_file", default=None, type=str)
+    parser.add_argument("--weights_file", default=None, type=str,
+                        help="orbax checkpoint dir (output of trainval_net)")
+    parser.add_argument("--db", dest="db_name", default="synthetic", type=str)
+    parser.add_argument("--net", default="res101", type=str)
+    parser.add_argument("--net_type", default=None, type=str)
+    parser.add_argument("--en_full_net", default=1, type=int)
+    parser.add_argument("--en_fpn", default=0, type=int)
+    parser.add_argument("--en_epistemic", default=0, type=int)
+    parser.add_argument("--en_aleatoric", default=0, type=int)
+    parser.add_argument("--uc_sort_type", default=None, type=str)
+    parser.add_argument("--iter", dest="iter", default=None, type=int)
+    parser.add_argument("--scale", default=None, type=float)
+    parser.add_argument("--fixed_blocks", default=None, type=int)
+    parser.add_argument("--data_dir", default=None, type=str)
+    parser.add_argument("--cache_dir", default=None, type=str)
+    parser.add_argument("--out_dir", default="output", type=str)
+    parser.add_argument("--thresh", default=0.5, type=float)
+    parser.add_argument("--batch_size", default=4, type=int)
+    parser.add_argument("--max_frames", default=-1, type=int)
+    parser.add_argument("--eval_det", default=1, type=int)
+    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from trainval_net import build_config, build_dataset  # same dir
+
+    cfg = build_config(args_to_train_ns(args))
+
+    import jax
+    import jax.numpy as jnp
+
+    from faster_rcnn_pytorch_multimodal_tpu.data import BatchLoader
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import FasterRCNN
+    from faster_rcnn_pytorch_multimodal_tpu.ops.filter import (
+        filter_detections,
+        to_per_class_lists,
+    )
+    from faster_rcnn_pytorch_multimodal_tpu.evaluation.eval_utils import evaluate_class
+
+    db = build_dataset(cfg, args.db_name, "val")
+    num_classes = len(db.classes)
+    model = FasterRCNN(cfg=cfg, num_classes=num_classes)
+    loader = BatchLoader(db, cfg, batch_size=args.batch_size, augment=False,
+                         shuffle=False, seed=cfg.rng_seed)
+
+    rng = jax.random.PRNGKey(0)
+    sample = loader.peek()
+    params = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.asarray(sample["data"][:1]),
+        jnp.asarray(sample["window"][:1]),
+    )
+    if args.weights_file:
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                os.path.abspath(args.weights_file),
+                {"state": {"params": jax.device_get(params)}, "sampler": loader.state_dict()},
+                strict=False,
+            )
+        params = restored["state"]["params"]
+        print(f"loaded weights from {args.weights_file}")
+
+    fwd = jax.jit(
+        lambda p, d, w: model.apply(p, d, w, method=FasterRCNN.forward_test)
+    )
+    is_lidar = cfg.net_type == "lidar"
+    bbox_elem = cfg.num_bbox_elem
+
+    n_frames = len(db) if args.max_frames <= 0 else min(len(db), args.max_frames)
+    all_boxes = [[[] for _ in range(n_frames)] for _ in range(num_classes)]
+    detections = {j: [] for j in range(1, num_classes)}
+    gt_frames = {}
+
+    t_det = 0.0
+    frame_idx = 0
+    while frame_idx < n_frames:
+        batch = loader.next()
+        t0 = time.time()
+        out = fwd(params, jnp.asarray(batch["data"]), jnp.asarray(batch["window"]))
+        jax.block_until_ready(out["cls_prob"])
+        t_det += time.time() - t0
+        b = batch["data"].shape[0]
+        for i in range(b):
+            if frame_idx >= n_frames:
+                break
+            filt = filter_detections(
+                out["cls_prob"][i],
+                out["bbox_pred"][i],
+                out["roi_valid"][i],
+                num_classes=num_classes,
+                bbox_elem=bbox_elem,
+                max_dets=cfg.test.max_dets,
+                thresh=args.thresh,
+                nms_thresh=cfg.test.nms_thresh,
+                is_lidar=is_lidar,
+            )
+            uc = {k: np.asarray(v[i]) for k, v in out.get("uncertainties", {}).items()}
+            boxes_j, _uc_j = to_per_class_lists(filt, uc, num_classes, bbox_elem)
+            fid = f"frame_{frame_idx:06d}"
+            for j in range(1, num_classes):
+                all_boxes[j][frame_idx] = boxes_j[j]
+                for row in boxes_j[j]:
+                    detections[j].append(
+                        {"frame_id": fid, "bbox": row[:bbox_elem], "confidence": row[-1]}
+                    )
+            # ground truth for self-contained eval
+            f = db.frame(frame_idx, augment=False)
+            gt = f["gt_boxes"]
+            cls_col = gt[:, -1].astype(int)
+            gt_frames.setdefault(fid, {})
+            gt_frames[fid] = {
+                "boxes": gt[:, :bbox_elem],
+                "cls": cls_col,
+            }
+            frame_idx += 1
+
+    print(f"detect: {t_det / max(n_frames,1):.4f}s/frame "
+          f"({n_frames / max(t_det, 1e-9):.2f} frames/s)")
+
+    out_dir = os.path.join(args.out_dir, "eval", db.name)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "detections.pkl"), "wb") as f:
+        pickle.dump(all_boxes, f)  # ref test.py:252-254
+
+    if args.eval_det:
+        eval_type = cfg.lidar.eval_type if is_lidar else "2d"
+        iou_t = 0.7 if is_lidar and eval_type != "3d" else (0.5 if not is_lidar else 0.5)
+        maps = []
+        for j in range(1, num_classes):
+            gtc = {
+                fid: {"boxes": g["boxes"][g["cls"] == j]}
+                for fid, g in gt_frames.items()
+            }
+            res = evaluate_class(detections[j], gtc, iou_thresh=iou_t, eval_type=eval_type)
+            print(f"class {db.classes[j]}: AP={res['ap']:.4f} "
+                  f"(tp={res['tp']} fp={res['fp']} npos={res['npos']})")
+            maps.append(res["ap"])
+        print(f"mAP ({eval_type} @ {iou_t}): {np.mean(maps):.4f}")
+        return float(np.mean(maps))
+
+
+def args_to_train_ns(args):
+    """Adapt test args to build_config's expected namespace."""
+    import types
+
+    ns = types.SimpleNamespace(
+        cfg_file=args.cfg_file, net_type=args.net_type, net=args.net,
+        en_full_net=args.en_full_net, en_fpn=args.en_fpn,
+        en_aleatoric=args.en_aleatoric, en_epistemic=args.en_epistemic,
+        uc_sort_type=args.uc_sort_type, preload=None,
+        fixed_blocks=args.fixed_blocks, scale=args.scale,
+        train_batch_size=None, val_batch_size=None, iter=args.iter,
+        data_dir=args.data_dir, cache_dir=args.cache_dir,
+        db_name=args.db_name, set_cfgs=args.set_cfgs,
+    )
+    return ns
+
+
+if __name__ == "__main__":
+    main()
