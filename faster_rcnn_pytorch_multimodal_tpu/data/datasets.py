@@ -33,6 +33,7 @@ def get_db(db_name: str, cfg: Config, mode: str):
 def _autoload():
     from faster_rcnn_pytorch_multimodal_tpu.data import waymo  # noqa: F401
     from faster_rcnn_pytorch_multimodal_tpu.data import kitti  # noqa: F401
+    from faster_rcnn_pytorch_multimodal_tpu.data import cadc  # noqa: F401
 
 
 try:

@@ -194,14 +194,42 @@ class FasterRCNN(nn.Module):
         self.fc7_channels = 2048
         self.det_channels = self.fc7_channels // 4 if dropout_en else self.fc7_channels
 
-        num_layers = int(c.net_variant.replace("res", "") or 101)
-        if c.use_fpn:
+        if c.net_variant == "vgg16":
+            from faster_rcnn_pytorch_multimodal_tpu.models.vgg16 import (
+                VGG16Head,
+                VGG16Tail,
+            )
+
+            assert not c.use_fpn, "FPN is resnet-only (ref imagenet.py)"
+            self.fc7_channels = 4096
+            self.det_channels = (
+                self.fc7_channels // 4 if dropout_en else self.fc7_channels
+            )
+            self.backbone = VGG16Head()
+            self.tail = VGG16Tail()
+        elif c.net_variant == "mobile":
+            from faster_rcnn_pytorch_multimodal_tpu.models.mobilenet import (
+                MobileNetV1Head,
+                MobileNetV1Tail,
+            )
+
+            assert not c.use_fpn, "FPN is resnet-only (ref imagenet.py)"
+            self.fc7_channels = 1024
+            self.det_channels = (
+                self.fc7_channels // 4 if dropout_en else self.fc7_channels
+            )
+            mult = c.mobilenet.depth_multiplier
+            self.backbone = MobileNetV1Head(depth_multiplier=mult)
+            self.tail = MobileNetV1Tail(depth_multiplier=mult)
+        elif c.use_fpn:
+            num_layers = int(c.net_variant.replace("res", "") or 101)
             self.backbone = ResNetPyramid(
                 num_layers, dropout_en=dropout_en, drop_rate=resnet_drop
             )
             self.fpn = FPN(planes=256)
             self.tail = FCTail(self.fc7_channels)
         else:
+            num_layers = int(c.net_variant.replace("res", "") or 101)
             self.backbone = ResNetC4(
                 num_layers, dropout_en=dropout_en, drop_rate=resnet_drop
             )
@@ -290,7 +318,13 @@ class FasterRCNN(nn.Module):
             tail_out = self.tail(
                 pooled.reshape(b * s, p, p, pooled.shape[-1]), deterministic
             )
-            fc7 = jnp.mean(tail_out, axis=(1, 2))  # global avg pool -> 2048
+            # conv tails (resnet layer4) need the global avg pool; fc tails
+            # (vgg16 fc6/7, mobilenet) already return flat features
+            fc7 = (
+                jnp.mean(tail_out, axis=(1, 2))
+                if tail_out.ndim == 4
+                else tail_out
+            )
         out = self.predictors(fc7, deterministic)
         return {k: v.reshape(b, s, -1) for k, v in out.items()}
 

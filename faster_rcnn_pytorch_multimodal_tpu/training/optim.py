@@ -39,12 +39,19 @@ def frozen_mask(params: Any, cfg: Config) -> Any:
     def is_frozen(path, _leaf) -> bool:
         names = _path_names(path)
         if names[-1] in _BN_LEAVES:
-            return True
+            return True  # running stats never train
+        if fixed < 0:
+            # fixed_blocks == -1: train everything, incl. stem and BN affine
+            # (ref imagenet.py:110-111 set_bn_var; our BN stats stay frozen —
+            # the affine pair absorbs what batch stats would learn)
+            return False
         in_backbone = "backbone" in names
         if in_backbone and "stem" in names:
             return True  # conv1 + bn1 always fixed (ref imagenet.py:96-99)
-        # all BN affine params are fixed whenever fixed_blocks >= 0
-        if fixed >= 0 and any(n.startswith("bn") or n.endswith("_bn") or n == "downsample_bn" for n in names):
+        if any(
+            n.startswith("bn") or n.endswith("_bn") or n == "downsample_bn"
+            for n in names
+        ):
             return True
         if in_backbone and any(n in frozen_stages for n in names):
             return True

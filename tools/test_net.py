@@ -76,11 +76,13 @@ def main(argv=None):
     if args.weights_file:
         import orbax.checkpoint as ocp
 
-        with ocp.StandardCheckpointer() as ckptr:
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
             restored = ckptr.restore(
                 os.path.abspath(args.weights_file),
-                {"state": {"params": jax.device_get(params)}, "sampler": loader.state_dict()},
-                strict=False,
+                args=ocp.args.PyTreeRestore(
+                    {"state": {"params": jax.device_get(params)}},
+                    partial_restore=True,
+                ),
             )
         params = restored["state"]["params"]
         print(f"loaded weights from {args.weights_file}")
@@ -168,15 +170,16 @@ def args_to_train_ns(args):
     """Adapt test args to build_config's expected namespace."""
     import types
 
+    g = lambda name, default=None: getattr(args, name, default)
     ns = types.SimpleNamespace(
-        cfg_file=args.cfg_file, net_type=args.net_type, net=args.net,
-        en_full_net=args.en_full_net, en_fpn=args.en_fpn,
-        en_aleatoric=args.en_aleatoric, en_epistemic=args.en_epistemic,
-        uc_sort_type=args.uc_sort_type, preload=None,
-        fixed_blocks=args.fixed_blocks, scale=args.scale,
-        train_batch_size=None, val_batch_size=None, iter=args.iter,
-        data_dir=args.data_dir, cache_dir=args.cache_dir,
-        db_name=args.db_name, set_cfgs=args.set_cfgs,
+        cfg_file=g("cfg_file"), net_type=g("net_type"), net=g("net", "res101"),
+        en_full_net=g("en_full_net", 1), en_fpn=g("en_fpn", 0),
+        en_aleatoric=g("en_aleatoric", 0), en_epistemic=g("en_epistemic", 0),
+        uc_sort_type=g("uc_sort_type"), preload=None,
+        fixed_blocks=g("fixed_blocks"), scale=g("scale"),
+        train_batch_size=None, val_batch_size=None, iter=g("iter"),
+        data_dir=g("data_dir"), cache_dir=g("cache_dir"),
+        db_name=g("db_name", "synthetic"), set_cfgs=g("set_cfgs"),
     )
     return ns
 
