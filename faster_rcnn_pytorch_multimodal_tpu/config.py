@@ -301,6 +301,10 @@ class Config:
     # backbone selector (ref tools/trainval_net.py --net flag: res18/34/50/
     # 101/152, vgg16, mobile)
     net_variant: str = "res101"
+    # TPU-only: activation/parameter compute dtype for the conv stack
+    # ('float32' | 'bfloat16').  Params are stored fp32; with bfloat16 the
+    # forward runs in bf16 (MXU-native) and losses are computed in fp32.
+    compute_dtype: str = "bfloat16"
     scale_loc: int = 6
     cache_dir: str = ""
     db_name: str = ""

@@ -34,6 +34,7 @@ def _autoload():
     from faster_rcnn_pytorch_multimodal_tpu.data import waymo  # noqa: F401
     from faster_rcnn_pytorch_multimodal_tpu.data import kitti  # noqa: F401
     from faster_rcnn_pytorch_multimodal_tpu.data import cadc  # noqa: F401
+    from faster_rcnn_pytorch_multimodal_tpu.data import nuscenes  # noqa: F401
 
 
 try:

@@ -131,6 +131,26 @@ def build_anchor_grid(
     return anchors, np.zeros((n, 7), np.float32)
 
 
+def cast_for_compute(params, cfg: Config):
+    """fp32 master params -> bf16 compute copies when cfg.compute_dtype is
+    bfloat16 (cast is linear, gradients flow back to the fp32 masters)."""
+    if cfg.compute_dtype != "bfloat16":
+        return params
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params,
+    )
+
+
+def _to_f32(tree):
+    return jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if isinstance(x, jnp.ndarray) and x.dtype == jnp.bfloat16
+        else x,
+        tree,
+    )
+
+
 def feat_stride(cfg: Config) -> int:
     """ref imagenet.py:32-48: 4 with FPN+multiscale, else 16."""
     if cfg.use_fpn and cfg.pooling_mode == "multiscale":
@@ -256,6 +276,8 @@ class FasterRCNN(nn.Module):
     # -- feature extraction -------------------------------------------------
 
     def features(self, images: jnp.ndarray, deterministic: bool = True):
+        if self.cfg.compute_dtype == "bfloat16":
+            images = images.astype(jnp.bfloat16)
         if self.cfg.use_fpn:
             c2, c3, c4, c5 = self.backbone(images, deterministic)
             p2, p3, p4, p5 = self.fpn(c2, c3, c4, c5)
@@ -273,14 +295,14 @@ class FasterRCNN(nn.Module):
         a = self.cfg.num_anchors
         # channel layout [bg x A | fg x A] (ref proposal_layer.py:32 takes
         # the back half as fg scores)
-        logits = cls.reshape(b, h, w, 2, a)
+        logits = cls.reshape(b, h, w, 2, a).astype(jnp.float32)
         logits = jnp.moveaxis(logits, 3, 4).reshape(b, h * w * a, 2)
         fg_prob = jax.nn.softmax(logits, axis=-1)[..., 1]
-        deltas = bbox.reshape(b, h * w * a, 4)
+        deltas = bbox.reshape(b, h * w * a, 4).astype(jnp.float32)
         out = {"logits": logits, "fg_prob": fg_prob, "deltas": deltas}
         if self.cfg.uc.en_rpn_bbox_aleatoric:
             var = self.rpn_bbox_al_var_net(rpn_feat)
-            out["bbox_al_var"] = var.reshape(b, h * w * a, 4)
+            out["bbox_al_var"] = var.reshape(b, h * w * a, 4).astype(jnp.float32)
         return out
 
     # -- roi head ---------------------------------------------------------
@@ -326,7 +348,9 @@ class FasterRCNN(nn.Module):
                 else tail_out
             )
         out = self.predictors(fc7, deterministic)
-        return {k: v.reshape(b, s, -1) for k, v in out.items()}
+        return {
+            k: v.reshape(b, s, -1).astype(jnp.float32) for k, v in out.items()
+        }
 
     # -- full passes --------------------------------------------------------
 

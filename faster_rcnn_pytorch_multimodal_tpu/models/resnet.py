@@ -53,8 +53,10 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
         var = self.param("var", nn.initializers.ones, (self.features,))
-        inv = jax.lax.rsqrt(var + self.eps)
-        y = (x - mean) * (inv * scale) + bias
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.eps)
+        y = (x.astype(jnp.float32) - mean.astype(jnp.float32)) * (
+            inv * scale.astype(jnp.float32)
+        ) + bias.astype(jnp.float32)
         return y.astype(x.dtype)
 
 

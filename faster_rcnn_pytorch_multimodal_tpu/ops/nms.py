@@ -1,20 +1,26 @@
 """Fixed-shape hard NMS inside jit.
 
 Replaces torchvision.ops.nms (C++/CUDA, used at ref proposal_layer.py:46,
-filter_predictions.py:67-69, train_val.py:429, db.py:17) with an exact,
+filter_predictions.py:67-69, train_val.py:429, db.py:17) with a
 static-shape XLA formulation:
 
   1. scores are sorted once (descending, invalid lanes at -inf),
   2. the full pairwise IoU matrix of the (static-size) candidate set is
-     computed in one shot — this is dense VPU/MXU-friendly work,
-  3. a `lax.fori_loop` sweeps the score order carrying a `suppressed`
-     bitmask; each step is O(N) vector work on an already-materialized IoU
-     row, so the sequential chain is as thin as possible,
-  4. kept candidates are compacted to a fixed `max_out` slot count with a
-     stable argsort (padding slots flagged invalid).
+     computed in one shot (dense VPU work),
+  3. the greedy keep set is found by Jacobi iteration of the suppression
+     fixed point: keep <- valid & no higher-scored KEPT box overlaps me.
+     The suppression relation is a DAG (edges only from higher to lower
+     score), and a DAG has a UNIQUE kernel = the greedy NMS solution, so
+     the alternating iteration converges to it; `iters` bounds the chain
+     depth (32 covers anything non-pathological at detection thresholds —
+     a 32-deep suppression chain means 32 boxes each overlapping the next
+     above threshold while all earlier ones were themselves suppressed).
+     Each iteration is one masked (N, N) reduction — VPU-friendly, no
+     sequential per-box scan.
 
-Exactness: identical keep-set to torchvision NMS for distinct scores
-(verified in tests/test_nms.py against torch CPU).
+Exactness vs the greedy oracle is tested in tests/test_iou_nms.py,
+including an adversarial chain case; `exact=True` switches to the
+sequential scan for verification.
 """
 
 from __future__ import annotations
@@ -24,31 +30,28 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from faster_rcnn_pytorch_multimodal_tpu.ops.iou import bbox_overlaps
-
 NEG_INF = jnp.float32(-1e30)
 
 
-@partial(jax.jit, static_argnames=("max_out",))
+@partial(jax.jit, static_argnames=("max_out", "iters", "exact"))
 def nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     iou_threshold: float,
     max_out: int,
     valid: jnp.ndarray | None = None,
+    iters: int = 32,
+    exact: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Hard NMS.
+    """Hard NMS (torchvision semantics: suppress IoU > threshold, no +1).
 
     Args:
-      boxes: (N, 4) x1y1x2y2 (the +1 area convention of ops.iou applies,
-        matching torchvision semantics closely enough at detection scales;
-        thresholds in the reference were tuned with torchvision's no-+1 IoU,
-        so we use the no-+1 form here for NMS specifically).
-      scores: (N,)
-      iou_threshold: suppress j if IoU(i, j) > threshold for a kept i with
-        higher score.
+      boxes: (N, 4) x1y1x2y2.
+      scores: (N,).
       max_out: static output slot count.
       valid: optional (N,) bool; invalid lanes can never be kept.
+      iters: Jacobi iterations (suppression-chain depth bound).
+      exact: use the O(N) sequential scan instead (reference oracle).
 
     Returns:
       keep_idx: (max_out,) int32 indices into the input (0 for pad slots)
@@ -62,22 +65,30 @@ def nms(
     sb = boxes[order]
     sv = s[order] > NEG_INF / 2
 
-    # torchvision-convention IoU (no +1) for suppression decisions
     iou = _iou_no_plus1(sb, sb)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jdx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    # S[j, i]: higher-scored j suppresses i when kept
+    sup = (iou > iou_threshold) & (idx < jdx) & sv[:, None]
 
-    def body(i, carry):
-        suppressed, keep = carry
-        row = jax.lax.dynamic_slice_in_dim(iou, i, 1, axis=0)[0]
-        keep_i = jnp.logical_and(jnp.logical_not(suppressed[i]), sv[i])
-        keep = keep.at[i].set(keep_i)
-        newly = jnp.logical_and(keep_i, row > iou_threshold)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-        newly = jnp.logical_and(newly, idx > i)
-        return jnp.logical_or(suppressed, newly), keep
+    if exact:
+        def body(i, carry):
+            suppressed, keep = carry
+            row = jax.lax.dynamic_slice_in_dim(iou, i, 1, axis=0)[0]
+            keep_i = jnp.logical_and(jnp.logical_not(suppressed[i]), sv[i])
+            keep = keep.at[i].set(keep_i)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+            newly = keep_i & (row > iou_threshold) & (lane > i)
+            return jnp.logical_or(suppressed, newly), keep
 
-    suppressed0 = jnp.zeros((n,), dtype=bool)
-    keep0 = jnp.zeros((n,), dtype=bool)
-    _, keep = jax.lax.fori_loop(0, n, body, (suppressed0, keep0))
+        _, keep = jax.lax.fori_loop(
+            0, n, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool))
+        )
+    else:
+        def step(_, keep):
+            return sv & ~jnp.any(sup & keep[:, None], axis=0)
+
+        keep = jax.lax.fori_loop(0, iters, step, sv)
 
     # compact kept lanes (already score-ordered) into max_out slots
     rank = jnp.argsort(jnp.logical_not(keep), stable=True)[:max_out]
@@ -105,4 +116,4 @@ def _iou_no_plus1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-__all__ = ["nms", "bbox_overlaps"]
+__all__ = ["nms"]

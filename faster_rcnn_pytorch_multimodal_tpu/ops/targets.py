@@ -124,18 +124,26 @@ def anchor_target(
     # degenerate frame with zero GT: everything inside is background
     labels = jnp.where(any_gt, labels, jnp.where(inside, 0.0, -1.0))
 
-    # subsample fg to fg_fraction * batch, then bg to fill the batch
+    # subsample fg to fg_fraction * batch, then bg to fill the batch.
+    # "random choice without replacement" = keep the k smallest of a uniform
+    # random key within the candidate set; top_k on the key beats a full
+    # argsort over the ~500k anchor lanes.
     rng_fg, rng_bg = jax.random.split(rng)
-    num_fg = int(fg_fraction * rpn_batchsize)
+    num_fg = min(int(fg_fraction * rpn_batchsize), n)
+    k_bg = min(rpn_batchsize, n)
     fg = labels == 1.0
-    fg_rank = _rank_within(fg, rng_fg)
-    labels = jnp.where(fg & (fg_rank >= num_fg), -1.0, labels)
+    fg_key = jnp.where(fg, jax.random.uniform(rng_fg, (n,)), 2.0)
+    kth_fg = -jax.lax.top_k(-fg_key, num_fg)[0][-1]
+    labels = jnp.where(fg & (fg_key > kth_fg), -1.0, labels)
 
     fg_count = jnp.sum(labels == 1.0)
-    num_bg = rpn_batchsize - fg_count
+    num_bg = rpn_batchsize - fg_count  # dynamic, <= rpn_batchsize
     bg = labels == 0.0
-    bg_rank = _rank_within(bg, rng_bg)
-    labels = jnp.where(bg & (bg_rank >= num_bg), -1.0, labels)
+    bg_key = jnp.where(bg, jax.random.uniform(rng_bg, (n,)), 2.0)
+    smallest_bg = -jax.lax.top_k(-bg_key, k_bg)[0]  # ascending
+    thr_idx = jnp.clip(num_bg, 1, k_bg) - 1
+    kth_bg = jnp.where(num_bg > 0, smallest_bg[thr_idx], -1.0)
+    labels = jnp.where(bg & (bg_key > kth_bg), -1.0, labels)
 
     # regression targets against each anchor's best GT (weights zero them
     # out everywhere labels != 1, so computing on all lanes is free)

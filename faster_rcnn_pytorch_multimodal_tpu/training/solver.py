@@ -39,9 +39,11 @@ def make_train_step(model: FasterRCNN, optimizer: optax.GradientTransformation):
     """One jitted step: loss, grads, update.  Batch layout (leading dim B):
     data (B,H,W,C), gt_boxes (B,G,5|8), gt_mask (B,G), window (B,4)."""
 
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import cast_for_compute
+
     def loss_fn(params, batch, rng):
         losses = model.apply(
-            params,
+            cast_for_compute(params, model.cfg),
             batch["data"],
             batch["gt_boxes"],
             batch["gt_mask"],
@@ -66,6 +68,28 @@ def make_train_step(model: FasterRCNN, optimizer: optax.GradientTransformation):
         return new_state, losses
 
     return train_step
+
+
+def make_eval_step(model: FasterRCNN):
+    """Validation losses on a held-out batch (no update) — the solver's
+    periodic val cycle (ref train_val.py:402-445 run_eval path)."""
+
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import cast_for_compute
+
+    @jax.jit
+    def eval_step(params, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        return model.apply(
+            cast_for_compute(params, model.cfg),
+            batch["data"],
+            batch["gt_boxes"],
+            batch["gt_mask"],
+            batch["window"],
+            rng,
+            method=FasterRCNN.forward_train,
+            rngs={"dropout": rng},
+        )
+
+    return eval_step
 
 
 def create_train_state(
@@ -114,7 +138,9 @@ class Solver:
         val_loader=None,
         output_dir: str = "output",
         seed: Optional[int] = None,
+        pretrained_path: Optional[str] = None,
     ):
+        self.pretrained_path = pretrained_path
         self.cfg = cfg
         self.model = model
         self.train_loader = train_loader
@@ -123,6 +149,14 @@ class Solver:
         self.seed = cfg.rng_seed if seed is None else seed
         self.mesh = make_mesh(cfg)
         self._ckpt_dir = os.path.join(os.path.abspath(output_dir), "checkpoints")
+        from faster_rcnn_pytorch_multimodal_tpu.training.metrics import MetricsWriter
+
+        self.metrics = MetricsWriter(os.path.join(os.path.abspath(output_dir), "tb"))
+        self.metrics_val = (
+            MetricsWriter(os.path.join(os.path.abspath(output_dir), "tb"), "val")
+            if val_loader is not None
+            else None
+        )
 
     # -- checkpointing ----------------------------------------------------
 
@@ -153,6 +187,37 @@ class Solver:
         )
         for d in snaps[: -self.cfg.train.snapshot_kept]:
             shutil.rmtree(os.path.join(self._ckpt_dir, d), ignore_errors=True)
+
+    def load_pretrained(
+        self, state: TrainState, path: str, mode: int = 1
+    ) -> TrainState:
+        """Staged preload (ref trainval_net.py:319-325, imagenet.py:209-237):
+        mode 1 = backbone only (load_pretrained_cnn: backbone + C4 tail),
+        mode 2 = everything except the 2nd-stage cls/bbox predictors
+        (load_pretrained_full)."""
+        import orbax.checkpoint as ocp
+
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+            restored = ckptr.restore(
+                os.path.abspath(path),
+                args=ocp.args.PyTreeRestore(
+                    {"state": {"params": jax.device_get(state.params)}},
+                    partial_restore=True,
+                ),
+            )
+        loaded = restored["state"]["params"]["params"]
+        own = jax.device_get(state.params)["params"]
+        keep_scopes = (
+            ("backbone", "tail") if mode == 1 else tuple(k for k in own if k != "predictors")
+        )
+        merged = dict(own)
+        for scope in keep_scopes:
+            if scope in loaded:
+                merged[scope] = loaded[scope]
+        print(f"preloaded mode={mode} scopes={keep_scopes} from {path}")
+        return TrainState(
+            params={"params": merged}, opt_state=state.opt_state, step=state.step
+        )
 
     def find_previous(self) -> Optional[str]:
         if not os.path.isdir(self._ckpt_dir):
@@ -189,7 +254,11 @@ class Solver:
         if prev is not None:
             print(f"restoring from {prev}")
             state = self.restore(state, prev)
+        elif self.pretrained_path:
+            mode = 2 if cfg.preload_full else 1
+            state = self.load_pretrained(state, self.pretrained_path, mode)
         train_step = make_train_step(self.model, optimizer)
+        eval_step = make_eval_step(self.model) if self.val_loader else None
 
         # replicate params over the mesh; batches shard on the leading dim
         state = jax.device_put(state, replicated(self.mesh))
@@ -204,6 +273,7 @@ class Solver:
             frames += int(batch["data"].shape[0])
             if (it + 1) % log_every == 0 or it + 1 == max_iters:
                 last_losses = {k: float(v) for k, v in losses.items()}
+                self.metrics.scalars(it + 1, last_losses)
                 dt = time.time() - t_start
                 # keep the reference's "speed: s/iter" display contract
                 # (ref train_val.py:463-468) + frames/sec
@@ -217,6 +287,12 @@ class Solver:
                     )
                     + f"speed: {dt / max(it + 1 - start, 1):.3f}s / iter, "
                     f"{frames / dt:.2f} frames/s"
+                )
+            if eval_step is not None and (it + 1) % log_every == 0:
+                val_batch = shard_batch(self.val_loader.next(), self.mesh, cfg)
+                val_losses = eval_step(state.params, val_batch, rng)
+                self.metrics_val.scalars(
+                    it + 1, {k: float(v) for k, v in val_losses.items()}
                 )
             if (it + 1) % cfg.train.snapshot_iters == 0 or it + 1 == max_iters:
                 self.snapshot(state, it + 1)

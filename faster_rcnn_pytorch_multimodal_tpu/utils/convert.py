@@ -1,0 +1,116 @@
+"""PyTorch -> JAX parameter conversion.
+
+The counterpart of the reference's tf->pytorch converters
+(ref tools/convert_from_tensorflow*.py:30-68: key renames + HWCN/NCHW
+transposes), going torch -> flax:
+
+  conv weight (O, I, kH, kW)   -> kernel (kH, kW, I, O)
+  linear weight (O, I)         -> kernel (I, O)
+  bn weight/bias/running_mean/running_var -> scale/bias/mean/var
+
+Covers torchvision-style ResNet state dicts (backbone init, PRELOAD=1,
+ref imagenet.py:224-237 load_pretrained_cnn) and the reference's full
+detector checkpoints (PRELOAD=2 keeps everything but the 2nd-stage
+cls/bbox heads, ref imagenet.py:209-222 load_pretrained_full).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    try:
+        return x.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(x)
+
+
+def convert_tensor(key: str, value) -> np.ndarray:
+    v = _t(value)
+    if v.ndim == 4:  # conv OIHW -> HWIO
+        return np.transpose(v, (2, 3, 1, 0))
+    if v.ndim == 2:  # linear OI -> IO
+        return np.transpose(v, (1, 0))
+    return v
+
+
+_BN_LEAF = {
+    "weight": "scale",
+    "bias": "bias",
+    "running_mean": "mean",
+    "running_var": "var",
+}
+
+
+def resnet_key_to_flax(key: str, use_fpn: bool) -> Tuple[str, ...] | None:
+    """torchvision resnet key -> our param path (under 'backbone' /
+    C4-'tail').  Returns None for keys we drop (fc head, trackers)."""
+    if "num_batches_tracked" in key or key.startswith("fc."):
+        return None
+    key = key.replace("resnet.", "")
+    m = re.match(r"^(conv1|bn1)\.(\w+)$", key)
+    if m:
+        mod, leaf = m.groups()
+        if mod == "conv1":
+            return ("backbone", "stem", "conv1", "kernel")
+        return ("backbone", "stem", "bn1", _BN_LEAF[leaf])
+    m = re.match(r"^layer(\d)\.(\d+)\.(conv\d|bn\d|downsample)\.?(\d+)?\.(\w+)$", key)
+    if not m:
+        m2 = re.match(r"^layer(\d)\.(\d+)\.(conv\d|bn\d)\.(\w+)$", key)
+        if not m2:
+            return None
+        stage, block, mod, leaf = m2.groups()
+        ds_idx = None
+    else:
+        stage, block, mod, ds_idx, leaf = m.groups()
+    stage_i, block_i = int(stage), int(block)
+    # layer4 lives in the C4 tail (ref _head_to_tail); under FPN it's in
+    # the pyramid backbone
+    root = ("tail",) if (stage_i == 4 and not use_fpn) else ("backbone",)
+    scope = root + (f"layer{stage_i}", f"block{block_i}")
+    if mod == "downsample":
+        name = "downsample_conv" if ds_idx == "0" else "downsample_bn"
+        leaf_name = "kernel" if name == "downsample_conv" else _BN_LEAF[leaf]
+        return scope + (name, leaf_name)
+    if mod.startswith("conv"):
+        return scope + (mod, "kernel")
+    return scope + (mod, _BN_LEAF[leaf])
+
+
+def load_resnet_state_dict(
+    params: Dict, state_dict: Dict, use_fpn: bool = False, verbose: bool = False
+) -> Tuple[Dict, int]:
+    """Copy a torchvision resnet state_dict into our param tree (in-place on
+    a deep copy).  Returns (new_params, n_loaded)."""
+    import copy
+
+    out = copy.deepcopy(params)
+    root = out["params"] if "params" in out else out
+    n = 0
+    for key, value in state_dict.items():
+        path = resnet_key_to_flax(key, use_fpn)
+        if path is None:
+            continue
+        node = root
+        ok = True
+        for p in path[:-1]:
+            if p not in node:
+                ok = False
+                break
+            node = node[p]
+        if not ok or path[-1] not in node:
+            if verbose:
+                print(f"skip {key} -> {'/'.join(path)} (absent)")
+            continue
+        v = convert_tensor(key, value)
+        if tuple(node[path[-1]].shape) != tuple(v.shape):
+            if verbose:
+                print(f"skip {key}: shape {v.shape} vs {node[path[-1]].shape}")
+            continue
+        node[path[-1]] = v.astype(np.float32)
+        n += 1
+    return out, n

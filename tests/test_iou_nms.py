@@ -70,6 +70,30 @@ def test_nms_matches_greedy_oracle():
         assert (np.diff(scores[got]) <= 1e-9).all()
 
 
+def test_nms_jacobi_matches_exact_scan():
+    for seed in range(4):
+        boxes = _rand_boxes(300, seed + 20)
+        scores = np.random.RandomState(seed).uniform(size=300).astype(np.float32)
+        i1, v1 = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.6, 300)
+        i2, v2 = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.6, 300, exact=True)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_nms_suppression_chain():
+    # chain: consecutive boxes overlap > thresh, skip-one overlap < thresh;
+    # greedy keeps the even-indexed boxes.  Exercises the Jacobi iteration's
+    # alternating convergence (ref: kernel of the suppression DAG).
+    n = 20
+    w = 10.0
+    step = 3.0  # IoU(adjacent) = 7/13 = 0.54 > 0.5; IoU(skip) = 4/16 = 0.25
+    boxes = np.array([[i * step, 0, i * step + w, 10] for i in range(n)], np.float32)
+    scores = np.linspace(1, 0.5, n).astype(np.float32)
+    idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, n)
+    kept = np.sort(np.asarray(idx)[np.asarray(valid)])
+    np.testing.assert_array_equal(kept, np.arange(0, n, 2))
+
+
 def test_nms_max_out_truncates():
     boxes = _rand_boxes(100, 3)
     scores = np.linspace(1, 0, 100).astype(np.float32)

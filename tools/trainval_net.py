@@ -131,10 +131,27 @@ def main(argv=None):
         augment=cfg.train.augment_en,
         seed=cfg.rng_seed,
     )
+    val_loader = None
+    if args.dbval_name:
+        val_db = build_dataset(cfg, args.dbval_name, "val")
+        val_loader = BatchLoader(
+            val_db,
+            cfg,
+            batch_size=cfg.train.batch_size,
+            augment=cfg.train.val_augment_en,
+            seed=cfg.rng_seed + 1,
+        )
     num_classes = len(train_db.classes)
     model = FasterRCNN(cfg=cfg, num_classes=num_classes)
     out_dir = os.path.join(args.out_dir, cfg.net_type, train_db.name)
-    solver = Solver(cfg, model, loader, output_dir=out_dir)
+    solver = Solver(
+        cfg,
+        model,
+        loader,
+        val_loader=val_loader,
+        output_dir=out_dir,
+        pretrained_path=args.weights_file if cfg.preload else None,
+    )
     print(f"training {cfg.net_variant} {cfg.net_type} on {train_db.name} "
           f"({len(train_db)} frames, {num_classes} classes) -> {out_dir}")
     loader.start()
