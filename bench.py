@@ -1,38 +1,39 @@
-"""Benchmark: res101 image Faster R-CNN training throughput on one chip.
+"""Benchmark: res101 training throughput on one chip (image 2D + LiDAR BEV).
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
 
-Baseline note: the reference publishes no throughput numbers
-(BASELINE.md — "speed: s/iter" is printed per run but never recorded).
-`REFERENCE_FPS` below is a documented estimate of the reference's
-single-GPU TRAINING throughput: the reference steps exactly one frame per
-iteration (lib/roi_data_layer/minibatch.py:111 asserts batch==1) and a
-res101 Faster R-CNN train step at Waymo-scale input on a 2019-class GPU
-runs ~3-5 it/s; we use 4 frames/sec.  vs_baseline = value / REFERENCE_FPS.
+`value` is the mean of the image-config and BEV-config train throughputs
+(the driver metric is "frames/sec/chip (res101 image+BEV)"); the per-config
+numbers ride along in "image_fps"/"bev_fps".
+
+Baseline note: the reference publishes no throughput numbers (BASELINE.md).
+`REFERENCE_FPS` is a documented estimate of its single-GPU TRAINING
+throughput: it steps exactly one frame per iteration
+(lib/roi_data_layer/minibatch.py:111 asserts batch==1) and a res101
+Faster R-CNN train step at Waymo-scale input on a 2019-class GPU runs
+~3-5 it/s; we use 4 frames/sec.  vs_baseline = value / REFERENCE_FPS.
+
+Set BENCH_CONFIG=image or BENCH_CONFIG=bev to run a single config.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 REFERENCE_FPS = 4.0
 
-# realistic Waymo-front-camera-at-scale-0.5 input (ref trainval_net.py
-# --scale 0.5 on 1920x930 -> 960x465, padded to multiples of 64)
-H, W = 512, 960
 BATCH = 8
 WARMUP = 2
 ITERS = 10
 
 
-def main():
+def _throughput(cfg, ds_kwargs):
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    from faster_rcnn_pytorch_multimodal_tpu.config import cfg_from_list, default_config
     from faster_rcnn_pytorch_multimodal_tpu.data import BatchLoader, SyntheticDataset
     from faster_rcnn_pytorch_multimodal_tpu.models.detector import FasterRCNN
     from faster_rcnn_pytorch_multimodal_tpu.training.solver import (
@@ -40,18 +41,7 @@ def main():
         make_train_step,
     )
 
-    cfg = cfg_from_list(
-        default_config(),
-        (
-            "NET_TYPE", "image",
-            "NET_VARIANT", "res101",
-            "PIXEL_STDDEVS", "[60.,60.,60.]",
-            "TRAIN.RPN_POST_NMS_TOP_N", "2000",
-            "STATIC.NMS_PRE_TRAIN", "4096",
-            "STATIC.MAX_GT", "64",
-        ),
-    )
-    ds = SyntheticDataset(cfg, num_frames=16, num_classes=2, image_hw=(H, W))
+    ds = SyntheticDataset(cfg, num_frames=16, **ds_kwargs)
     loader = BatchLoader(ds, cfg, batch_size=BATCH, seed=0)
     model = FasterRCNN(cfg=cfg, num_classes=2)
     rng = jax.random.PRNGKey(0)
@@ -67,19 +57,64 @@ def main():
     for _ in range(ITERS):
         state, losses = step(state, batch, rng)
     jax.block_until_ready(losses["total_loss"])
-    dt = time.time() - t0
+    return BATCH * ITERS / (time.time() - t0)
 
-    fps = BATCH * ITERS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "train frames/sec/chip (res101 image, 512x960, b8)",
-                "value": round(fps, 2),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / REFERENCE_FPS, 2),
-            }
-        )
+
+def image_config():
+    from faster_rcnn_pytorch_multimodal_tpu.config import cfg_from_list, default_config
+
+    # Waymo front camera at --scale 0.5 (1920x930 -> 960x465, padded)
+    return cfg_from_list(
+        default_config(),
+        (
+            "NET_TYPE", "image",
+            "NET_VARIANT", "res101",
+            "PIXEL_STDDEVS", "[60.,60.,60.]",
+            "TRAIN.RPN_POST_NMS_TOP_N", "2000",
+            "STATIC.NMS_PRE_TRAIN", "4096",
+            "STATIC.MAX_GT", "64",
+        ),
     )
+
+
+def bev_config():
+    from faster_rcnn_pytorch_multimodal_tpu.config import cfg_from_list, default_config
+
+    # Waymo BEV at --scale 0.5: 400x350x15 raster, 2 rotated anchors/cell
+    return cfg_from_list(
+        default_config(),
+        (
+            "NET_TYPE", "lidar",
+            "NET_VARIANT", "res101",
+            "TRAIN.SCALES", "(0.5,)",
+            "TRAIN.RPN_POST_NMS_TOP_N", "2000",
+            "STATIC.NMS_PRE_TRAIN", "1024",
+            "STATIC.MAX_GT", "64",
+            "STATIC.MAX_POINTS", "32768",
+        ),
+    )
+
+
+def main():
+    which = os.environ.get("BENCH_CONFIG", "both")
+    results = {}
+    if which in ("image", "both"):
+        results["image_fps"] = round(
+            _throughput(image_config(), dict(num_classes=2, image_hw=(512, 960))), 2
+        )
+    if which in ("bev", "both"):
+        results["bev_fps"] = round(
+            _throughput(bev_config(), dict(num_classes=2)), 2
+        )
+    value = round(sum(results.values()) / len(results), 2)
+    out = {
+        "metric": "train frames/sec/chip (res101 image 512x960 + BEV 400x350, b8)",
+        "value": value,
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(value / REFERENCE_FPS, 2),
+    }
+    out.update(results)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -173,14 +173,22 @@ def propose_one(
     pre_nms_top_n: int,
     post_nms_top_n: int,
     nms_thresh: float,
+    use_nms: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """RPN proposals for one frame (ref proposal_layer.py:18-57).
+    """RPN proposals for one frame (ref proposal_layer.py:18-57; with
+    use_nms=False this is the NMS-free top-N alternative, TEST.MODE='top',
+    ref proposal_top_layer.py:18-59).
 
     Returns (rois (P,4), scores (P,), anchors_3d (P,7), valid (P,)) with
     P = post_nms_top_n, padded lanes flagged invalid.
     """
     boxes = bbox_transform_inv(anchors_bev, deltas)
     boxes = clip_boxes(boxes, window)
+    if not use_nms:
+        k = min(post_nms_top_n, fg_scores.shape[0])
+        top_scores, order = jax.lax.top_k(fg_scores, k)
+        valid = jnp.ones((k,), bool)
+        return boxes[order], top_scores, anchors_3d[order], valid
     k = min(pre_nms_top_n, fg_scores.shape[0])
     top_scores, order = jax.lax.top_k(fg_scores, k)
     top_boxes = boxes[order]
@@ -380,12 +388,16 @@ class FasterRCNN(nn.Module):
         pre_n = (
             static.nms_pre_train if phase == "train" else static.nms_pre_test
         )
+        # TEST.MODE='top': NMS-free pure top-N selection (ref config.py:263-266)
+        top_mode = phase == "test" and getattr(c, "mode", "nms") == "top"
+        post_n = c.rpn_top_n if top_mode else c.rpn_post_nms_top_n
         return jax.vmap(
             partial(
                 propose_one,
                 pre_nms_top_n=min(pre_n, c.rpn_pre_nms_top_n),
-                post_nms_top_n=c.rpn_post_nms_top_n,
+                post_nms_top_n=post_n,
                 nms_thresh=c.rpn_nms_thresh,
+                use_nms=not top_mode,
             ),
             in_axes=(0, 0, None, None, 0),
         )(

@@ -46,10 +46,14 @@ class FrozenBatchNorm(nn.Module):
 
     features: int
     eps: float = 1e-5
+    zero_scale: bool = False  # zero-init (residual-branch terminator)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        scale_init = (
+            nn.initializers.zeros if self.zero_scale else nn.initializers.ones
+        )
+        scale = self.param("scale", scale_init, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
         var = self.param("var", nn.initializers.ones, (self.features,))
@@ -109,7 +113,12 @@ class Bottleneck(nn.Module):
 
         out = _conv(self.planes * 4, 1, 1, name="conv3")(out)
         if self.batchnorm_en:
-            out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+            # zero-init the residual terminator scale: without live batch
+            # stats, unit-scale residuals DOUBLE activation variance per
+            # block (2^33 for res101) and from-scratch training NaNs on the
+            # first step.  Pretrained loads overwrite this; torchvision's
+            # zero_init_residual does the same.
+            out = FrozenBatchNorm(self.planes * 4, zero_scale=True, name="bn3")(out)
 
         if self.has_downsample:
             identity = _conv(
@@ -140,7 +149,7 @@ class BasicBlock(nn.Module):
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
         out = _conv(self.planes, 3, 1, name="conv2")(out)
-        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        out = FrozenBatchNorm(self.planes, zero_scale=True, name="bn2")(out)
         if self.has_downsample:
             identity = _conv(self.planes, 1, self.stride, name="downsample_conv")(x)
             identity = FrozenBatchNorm(self.planes, name="downsample_bn")(identity)

@@ -39,6 +39,8 @@ def parse_args(argv=None):
     parser.add_argument("--batch_size", default=4, type=int)
     parser.add_argument("--max_frames", default=-1, type=int)
     parser.add_argument("--eval_det", default=1, type=int)
+    parser.add_argument("--draw_det", default=0, type=int,
+                        help="draw first N frames' detections (uc-colored)")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     return parser.parse_args(argv)
 
@@ -68,7 +70,7 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(0)
     sample = loader.peek()
-    params = model.init(
+    params = jax.jit(model.init)(
         {"params": rng, "dropout": rng},
         jnp.asarray(sample["data"][:1]),
         jnp.asarray(sample["window"][:1]),
@@ -124,6 +126,11 @@ def main(argv=None):
             uc = {k: np.asarray(v[i]) for k, v in out.get("uncertainties", {}).items()}
             boxes_j, _uc_j = to_per_class_lists(filt, uc, num_classes, bbox_elem)
             fid = f"frame_{frame_idx:06d}"
+            if args.draw_det and frame_idx < args.draw_det:
+                _draw_frame(
+                    cfg, db, frame_idx, boxes_j, _uc_j, num_classes,
+                    os.path.join(args.out_dir, "eval", db.name, "draws"),
+                )
             for j in range(1, num_classes):
                 all_boxes[j][frame_idx] = boxes_j[j]
                 for row in boxes_j[j]:
@@ -164,6 +171,39 @@ def main(argv=None):
             maps.append(res["ap"])
         print(f"mAP ({eval_type} @ {iou_t}): {np.mean(maps):.4f}")
         return float(np.mean(maps))
+
+
+def _draw_frame(cfg, db, idx, boxes_j, uc_j, num_classes, out_dir):
+    """uc_sort_type-colored validation drawing (ref db.draw_and_save_eval,
+    waymo_lidb.py:229-328)."""
+    import numpy as np
+
+    from faster_rcnn_pytorch_multimodal_tpu.utils import visualization as viz
+
+    frame = db.frame(idx, augment=False)
+    sort_key = cfg.uc.sort_type
+    if cfg.net_type == "lidar":
+        dets = [boxes_j[j] for j in range(1, num_classes) if len(boxes_j[j])]
+        canvas = viz.draw_detections_bev(
+            np.asarray(frame.get("data", np.zeros((100, 100, 15)))),
+            np.vstack(dets) if dets else np.zeros((0, 8)),
+            gt7=frame.get("gt_boxes"),
+            sort_key=sort_key,
+        )
+    else:
+        disp = frame["data"] * np.asarray(cfg.pixel_stddevs) + np.asarray(
+            cfg.pixel_means
+        )
+        canvas = disp[:, :, ::-1]
+        gt = frame.get("gt_boxes")
+        if gt is not None and len(gt):
+            canvas = viz.draw_bounding_boxes(canvas, gt, classes=db.classes)
+        for j in range(1, num_classes):
+            if len(boxes_j[j]):
+                canvas = viz.draw_detections_image(
+                    canvas, boxes_j[j], class_name=db.classes[j], sort_key=sort_key
+                )
+    viz.save_image(canvas, os.path.join(out_dir, f"det_{idx:06d}.png"))
 
 
 def args_to_train_ns(args):
