@@ -137,7 +137,7 @@ class KittiDB(DetectionDB):
 
         return cv2.imread(entry["filename"]).astype(np.float32)
 
-    def evaluate_detections(self, detections_per_class, gt_frames, output_dir: str):
+    def evaluate_detections(self, detections_per_class, gt_by_class, output_dir: str):
         """Easy/Moderate/Hard AP (ref kitti_lidb.py:380-424)."""
         from faster_rcnn_pytorch_multimodal_tpu.evaluation.eval_utils import (
             evaluate_class,
@@ -156,7 +156,7 @@ class KittiDB(DetectionDB):
             ):
                 res = evaluate_class(
                     detections_per_class[j],
-                    gt_frames,
+                    gt_by_class[j],
                     iou_thresh=iou_t,
                     eval_type=eval_type,
                     difficulty_filter=keep,

@@ -160,7 +160,7 @@ class WaymoDB(DetectionDB):
 
     # -- evaluation (ref waymo_lidb.py:568-611 + waymo_eval.py) ---------------
 
-    def evaluate_detections(self, detections_per_class, gt_frames, output_dir: str):
+    def evaluate_detections(self, detections_per_class, gt_by_class, output_dir: str):
         """Waymo L1/L2 difficulty AP (ref waymo_lidb.py:568-611)."""
         from faster_rcnn_pytorch_multimodal_tpu.evaluation.eval_utils import (
             evaluate_class,
@@ -178,7 +178,7 @@ class WaymoDB(DetectionDB):
             ):
                 res = evaluate_class(
                     detections_per_class[j],
-                    gt_frames,
+                    gt_by_class[j],
                     iou_thresh=iou_t,
                     eval_type=eval_type,
                     difficulty_filter=keep,

@@ -468,6 +468,16 @@ class FasterRCNN(nn.Module):
         rois, roi_scores, roi_a3d, roi_valid = self._propose_batch(
             rpn_out, window, "train"
         )
+        if c.train.use_gt:
+            # add GT boxes to the candidate pool (ref proposal_target_layer
+            # .py:35-41): guarantees foreground RoIs while the RPN is
+            # immature; anchors_3d slots carry the true 7-DoF boxes
+            rois = jnp.concatenate([rois, gt_bev[..., :4]], axis=1)
+            roi_scores = jnp.concatenate(
+                [roi_scores, jnp.zeros(gt_mask.shape)], axis=1
+            )
+            roi_valid = jnp.concatenate([roi_valid, gt_mask], axis=1)
+            roi_a3d = jnp.concatenate([roi_a3d, true_gt[..., :7]], axis=1)
         rois5 = jnp.concatenate(
             [jnp.zeros(rois.shape[:2] + (1,)), rois], axis=-1
         )

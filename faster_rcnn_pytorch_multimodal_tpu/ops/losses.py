@@ -139,6 +139,45 @@ def bayesian_cross_entropy(
     return jnp.mean(nll), categorical_mutual_information(samples)
 
 
+def bayesian_cross_entropy_simple(
+    cls_score: jnp.ndarray,
+    cls_var: jnp.ndarray,
+    targets: jnp.ndarray,
+    num_sample: int,
+    rng: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Variant: CE averaged over distorted samples (ref loss_utils.py:171-184)."""
+    samples = logit_distort(cls_score, cls_var, num_sample, rng)  # (T, N, C)
+    logp = jax.nn.log_softmax(samples, axis=2)
+    nll = -jnp.take_along_axis(
+        logp, jnp.broadcast_to(targets[None, :, None], (num_sample,) + targets.shape + (1,)), axis=2
+    )[..., 0]
+    return jnp.mean(nll), categorical_mutual_information(samples)
+
+
+def bayesian_elu_cross_entropy(
+    cls_score: jnp.ndarray,
+    cls_var: jnp.ndarray,
+    targets: jnp.ndarray,
+    num_sample: int,
+    rng: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ELU-regularized variant (ref loss_utils.py:187-209): difference of
+    undistorted and distorted CE through a negated ELU, plus an
+    exp-mean-variance regularizer."""
+    logp0 = jax.nn.log_softmax(cls_score, axis=-1)
+    undist = -jnp.take_along_axis(logp0, targets[:, None], axis=1)[:, 0]
+    samples = logit_distort(cls_score, cls_var, num_sample, rng)
+    avg_softmax = jnp.mean(jax.nn.softmax(samples, axis=2), axis=0)
+    log_avg = jnp.log(jnp.clip(avg_softmax, 1e-12))
+    dist = -jnp.take_along_axis(log_avg, targets[:, None], axis=1)[:, 0]
+    diff = undist - dist
+    diff_elu = -jax.nn.elu(-diff)
+    regularizer = jnp.mean(cls_var, axis=1)
+    loss = diff_elu * undist + undist + jnp.exp(regularizer) - 1.0
+    return jnp.mean(loss), categorical_mutual_information(samples)
+
+
 def cross_entropy(
     logits: jnp.ndarray, labels: jnp.ndarray, weights: Optional[jnp.ndarray] = None
 ) -> jnp.ndarray:

@@ -156,6 +156,45 @@ def main(argv=None):
     with open(os.path.join(out_dir, "detections.pkl"), "wb") as f:
         pickle.dump(all_boxes, f)  # ref test.py:252-254
 
+    # per-class det text files (ref db.py:305-367)
+    frame_ids = [f"frame_{i:06d}" for i in range(n_frames)]
+    if hasattr(db, "write_lidar_results") and is_lidar:
+        db.write_lidar_results(all_boxes, frame_ids, out_dir)
+    elif hasattr(db, "write_image_results"):
+        db.write_image_results(all_boxes, frame_ids, out_dir)
+
+    # difficulty-aware dataset evaluation on real datasets: detections in
+    # voxel-grid space convert back to meters (ref test.py:223-224) and the
+    # roidb supplies per-box difficulty
+    if args.eval_det and hasattr(db, "roidb") and hasattr(db, "evaluate_detections"):
+        scale = float(cfg.test.scales[0])
+        det_by_class = {j: [] for j in range(1, num_classes)}
+        for j in range(1, num_classes):
+            for i in range(n_frames):
+                rows = np.atleast_2d(all_boxes[j][i]) if len(all_boxes[j][i]) else []
+                for row in rows:
+                    bb = row[:bbox_elem].copy()
+                    if is_lidar:
+                        bb = db.boxes_voxel_grid_to_pc(bb[None], scale)[0]
+                    det_by_class[j].append(
+                        {"frame_id": db.roidb[i].get("frame_id", frame_ids[i]),
+                         "bbox": bb, "confidence": row[-1]}
+                    )
+        gt_by_class = {}
+        for j in range(1, num_classes):
+            gt_by_class[j] = {}
+            for i in range(n_frames):
+                e = db.roidb[i]
+                sel = e["gt_classes"] == j
+                gt_by_class[j][e.get("frame_id", frame_ids[i])] = {
+                    "boxes": e["boxes"][sel],
+                    "difficulty": e.get("difficulty", np.zeros(sel.sum()))[sel]
+                    if len(e.get("difficulty", [])) == len(sel)
+                    else np.zeros(int(sel.sum())),
+                }
+        db.evaluate_detections(det_by_class, gt_by_class, out_dir)
+        return
+
     if args.eval_det:
         eval_type = cfg.lidar.eval_type if is_lidar else "2d"
         iou_t = 0.7 if is_lidar and eval_type != "3d" else (0.5 if not is_lidar else 0.5)
@@ -173,6 +212,34 @@ def main(argv=None):
         return float(np.mean(maps))
 
 
+def _rasterize_points(cfg, points):
+    """Raw points -> BEV raster for drawing (mirrors the loader path)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from faster_rcnn_pytorch_multimodal_tpu.ops.voxelize import (
+        bev_grid_size,
+        voxelize_bev,
+    )
+
+    scale = float(cfg.test.scales[0])
+    ny, nx, _ = bev_grid_size(cfg, scale)
+    fn = partial(
+        voxelize_bev,
+        x_range=cfg.lidar.x_range, y_range=cfg.lidar.y_range,
+        z_range=cfg.lidar.z_range, voxel_len=cfg.lidar.voxel_len / scale,
+        voxel_height=cfg.lidar.voxel_height, num_x=nx, num_y=ny,
+        num_slices=cfg.lidar.num_slices, num_meta=cfg.lidar.num_meta_channel,
+    )
+    import numpy as np
+
+    return np.asarray(
+        jax.jit(fn)(jnp.asarray(points), jnp.ones(len(points), bool))
+    )
+
+
 def _draw_frame(cfg, db, idx, boxes_j, uc_j, num_classes, out_dir):
     """uc_sort_type-colored validation drawing (ref db.draw_and_save_eval,
     waymo_lidb.py:229-328)."""
@@ -184,8 +251,11 @@ def _draw_frame(cfg, db, idx, boxes_j, uc_j, num_classes, out_dir):
     sort_key = cfg.uc.sort_type
     if cfg.net_type == "lidar":
         dets = [boxes_j[j] for j in range(1, num_classes) if len(boxes_j[j])]
+        bev = frame.get("data")
+        if bev is None and "points" in frame:
+            bev = _rasterize_points(cfg, frame["points"])
         canvas = viz.draw_detections_bev(
-            np.asarray(frame.get("data", np.zeros((100, 100, 15)))),
+            np.asarray(bev),
             np.vstack(dets) if dets else np.zeros((0, 8)),
             gt7=frame.get("gt_boxes"),
             sort_key=sort_key,
