@@ -85,10 +85,18 @@ def nms(
             0, n, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool))
         )
     else:
-        def step(_, keep):
-            return sv & ~jnp.any(sup & keep[:, None], axis=0)
+        # Jacobi iteration with early exit: real detection sets converge in
+        # ~3-6 rounds, so a while_loop beats running the full bound
+        def cond(state):
+            i, _keep, done = state
+            return jnp.logical_and(i < iters, jnp.logical_not(done))
 
-        keep = jax.lax.fori_loop(0, iters, step, sv)
+        def step(state):
+            i, keep, _ = state
+            new_keep = sv & ~jnp.any(sup & keep[:, None], axis=0)
+            return i + 1, new_keep, jnp.all(new_keep == keep)
+
+        _, keep, _ = jax.lax.while_loop(cond, step, (0, sv, jnp.bool_(False)))
 
     # compact kept lanes (already score-ordered) into max_out slots
     rank = jnp.argsort(jnp.logical_not(keep), stable=True)[:max_out]

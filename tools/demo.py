@@ -93,9 +93,11 @@ def main(argv=None):
         params = restored["state"]["params"]
 
     fwd = jax.jit(
-        lambda p, d, w: model.apply(p, d, w, method=FasterRCNN.forward_test)
+        lambda p, d, w, key: model.apply(
+            p, d, w, method=FasterRCNN.forward_test, rngs={"dropout": key}
+        )
     )
-    out = fwd(params, data, window)
+    out = fwd(params, data, window, jax.random.PRNGKey(1))
     is_lidar = cfg.net_type == "lidar"
     filt = filter_detections(
         out["cls_prob"][0], out["bbox_pred"][0], out["roi_valid"][0],

@@ -90,7 +90,9 @@ def main(argv=None):
         print(f"loaded weights from {args.weights_file}")
 
     fwd = jax.jit(
-        lambda p, d, w: model.apply(p, d, w, method=FasterRCNN.forward_test)
+        lambda p, d, w, key: model.apply(
+            p, d, w, method=FasterRCNN.forward_test, rngs={"dropout": key}
+        )
     )
     is_lidar = cfg.net_type == "lidar"
     bbox_elem = cfg.num_bbox_elem
@@ -105,7 +107,8 @@ def main(argv=None):
     while frame_idx < n_frames:
         batch = loader.next()
         t0 = time.time()
-        out = fwd(params, jnp.asarray(batch["data"]), jnp.asarray(batch["window"]))
+        out = fwd(params, jnp.asarray(batch["data"]), jnp.asarray(batch["window"]),
+                  jax.random.fold_in(rng, frame_idx))
         jax.block_until_ready(out["cls_prob"])
         t_det += time.time() - t0
         b = batch["data"].shape[0]
