@@ -376,9 +376,11 @@ class FasterRCNN(nn.Module):
         det = self.roi_head(feats, dummy_rois, deterministic=True)
         return {"rpn": rpn_out["fg_prob"], **det}
 
-    def _anchors(self, rpn_feat):
+    def _anchors(self, rpn_feat, phase: str = "train"):
         h, w = rpn_feat.shape[1:3]
-        scale = float(self.cfg.train.scales[0])
+        # anchor sizes scale with the frame scale of the active phase
+        # (ref snippets.py:22: anchor_scales * frame_scale)
+        scale = float(self.cfg.phase(phase).scales[0])
         bev, a3d = build_anchor_grid(self.cfg, h, w, scale)
         return jnp.asarray(bev), jnp.asarray(a3d)
 
@@ -603,7 +605,7 @@ class FasterRCNN(nn.Module):
 
         feats = self.features(images, deterministic=True)
         rpn_out = self.rpn_scores(feats["rpn"])
-        rpn_out["anchors"] = self._anchors(feats["rpn"])
+        rpn_out["anchors"] = self._anchors(feats["rpn"], phase="test")
         rois, roi_scores, roi_a3d, roi_valid = self._propose_batch(
             rpn_out, window, "test"
         )

@@ -147,7 +147,12 @@ class Solver:
         self.val_loader = val_loader
         self.output_dir = output_dir
         self.seed = cfg.rng_seed if seed is None else seed
-        self.mesh = make_mesh(cfg)
+        # data axis must divide the batch: use the largest divisor of the
+        # batch size that fits the visible devices
+        n_dev = cfg.mesh.data if cfg.mesh.data > 0 else len(jax.devices())
+        b = train_loader.batch_size
+        n = max(d for d in range(1, min(n_dev, b) + 1) if b % d == 0)
+        self.mesh = make_mesh(cfg, jax.devices()[:n])
         self._ckpt_dir = os.path.join(os.path.abspath(output_dir), "checkpoints")
         from faster_rcnn_pytorch_multimodal_tpu.training.metrics import MetricsWriter
 
