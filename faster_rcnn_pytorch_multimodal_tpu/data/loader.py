@@ -204,9 +204,15 @@ class BatchLoader:
                 batch["points"] = pts
                 batch["point_valid"] = pvalid
         else:
-            hs = [f["data"].shape[0] for f in frames]
-            ws = [f["data"].shape[1] for f in frames]
-            h, w = max(hs), max(ws)
+            # pad to the batch max rounded UP to a 64px bucket: raw
+            # batch-max padding hands XLA a fresh shape (= a recompile) for
+            # every aspect-ratio mix in variable-size datasets; bucketing
+            # bounds the compile count while keeping small inputs small
+            def _bucket(v: int) -> int:
+                return ((v + 63) // 64) * 64
+
+            h = _bucket(max(f["data"].shape[0] for f in frames))
+            w = _bucket(max(f["data"].shape[1] for f in frames))
             data = np.zeros((b, h, w, frames[0]["data"].shape[2]), np.float32)
             for i, f in enumerate(frames):
                 fh, fw = f["data"].shape[:2]
