@@ -8,11 +8,19 @@ Mirrors the torchvision-fork in ref lib/nets/resnet.py:
   * stride-1 layer4 when no FPN (:235-238).
 
 BatchNorm is implemented as FrozenBatchNorm (affine transform with stored
-running stats).  The reference freezes BN for every supported FIXED_BLOCKS
-setting except -1 (ref imagenet.py:96-163: set_bn_fix + eval-mode BN), so
-frozen BN is the production behavior; it also removes cross-device batch
-statistics from the TPU data-parallel path entirely.  FIXED_BLOCKS == -1
-(trainable BN) is intentionally unsupported and asserted against.
+running stats).  The reference freezes BN for every FIXED_BLOCKS setting
+except -1 (ref imagenet.py:96-163: set_bn_fix + eval-mode BN), so frozen BN
+is the production behavior; it also removes cross-device batch statistics
+from the TPU data-parallel path entirely.  With FIXED_BLOCKS == -1 the BN
+affine pair trains (training/optim.py:44-47) while the stats stay frozen.
+
+`zero_init_residual` (residual-terminator BN scale initialized to zero, the
+torchvision trick that keeps from-scratch deep-resnet activations bounded)
+is only enabled when that affine pair is TRAINABLE, i.e. fixed_blocks == -1:
+with fixed_blocks >= 0 the optimizer freezes every BN parameter, and a
+frozen zero scale would permanently kill every residual branch (the model
+silently degenerates to stem+downsample paths).  fixed_blocks >= 0 assumes
+pretrained weights overwrite the init (the solver warns otherwise).
 
 Layout: NHWC everywhere (TPU-native).  bfloat16 activations are applied at
 the detector level; params stay float32.
@@ -87,6 +95,7 @@ class Bottleneck(nn.Module):
     dropout_en: bool = False
     drop_rate: float = 0.0
     batchnorm_en: bool = True
+    zero_init_residual: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -113,12 +122,13 @@ class Bottleneck(nn.Module):
 
         out = _conv(self.planes * 4, 1, 1, name="conv3")(out)
         if self.batchnorm_en:
-            # zero-init the residual terminator scale: without live batch
-            # stats, unit-scale residuals DOUBLE activation variance per
-            # block (2^33 for res101) and from-scratch training NaNs on the
-            # first step.  Pretrained loads overwrite this; torchvision's
-            # zero_init_residual does the same.
-            out = FrozenBatchNorm(self.planes * 4, zero_scale=True, name="bn3")(out)
+            # zero_init_residual (from-scratch only, see module docstring):
+            # without live batch stats, unit-scale residuals DOUBLE
+            # activation variance per block (2^33 for res101) and
+            # from-scratch training NaNs on the first step.
+            out = FrozenBatchNorm(
+                self.planes * 4, zero_scale=self.zero_init_residual, name="bn3"
+            )(out)
 
         if self.has_downsample:
             identity = _conv(
@@ -141,6 +151,7 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     has_downsample: bool = False
+    zero_init_residual: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -149,7 +160,9 @@ class BasicBlock(nn.Module):
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
         out = _conv(self.planes, 3, 1, name="conv2")(out)
-        out = FrozenBatchNorm(self.planes, zero_scale=True, name="bn2")(out)
+        out = FrozenBatchNorm(
+            self.planes, zero_scale=self.zero_init_residual, name="bn2"
+        )(out)
         if self.has_downsample:
             identity = _conv(self.planes, 1, self.stride, name="downsample_conv")(x)
             identity = FrozenBatchNorm(self.planes, name="downsample_bn")(identity)
@@ -167,6 +180,7 @@ class ResStage(nn.Module):
     dropout_en: bool = False
     drop_rate: float = 0.0
     batchnorm_en: bool = True
+    zero_init_residual: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -181,6 +195,7 @@ class ResStage(nn.Module):
                     self.planes,
                     stride,
                     has_downsample=needs_ds,
+                    zero_init_residual=self.zero_init_residual,
                     name=f"block{i}",
                 )(x, deterministic)
             else:
@@ -193,6 +208,7 @@ class ResStage(nn.Module):
                     dropout_en=self.dropout_en,
                     drop_rate=self.drop_rate,
                     batchnorm_en=self.batchnorm_en,
+                    zero_init_residual=self.zero_init_residual,
                     name=f"block{i}",
                 )(x, deterministic)
         return x
@@ -234,6 +250,7 @@ class ResNetC4(nn.Module):
     dropout_en: bool = False
     drop_rate: float = 0.0
     batchnorm_en: bool = True
+    zero_init_residual: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -244,6 +261,7 @@ class ResNetC4(nn.Module):
             dropout_en=self.dropout_en,
             drop_rate=self.drop_rate,
             batchnorm_en=self.batchnorm_en,
+            zero_init_residual=self.zero_init_residual,
         )
         x = ResNetStem(name="stem")(x)
         x = RematResStage(64, blocks[0], 1, name="layer1", **kw)(x, deterministic)
@@ -264,6 +282,7 @@ class ResNetLayer4(nn.Module):
     dropout_en: bool = False
     drop_rate: float = 0.0
     batchnorm_en: bool = True
+    zero_init_residual: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -276,6 +295,7 @@ class ResNetLayer4(nn.Module):
             dropout_en=self.dropout_en,
             drop_rate=self.drop_rate,
             batchnorm_en=self.batchnorm_en,
+            zero_init_residual=self.zero_init_residual,
             name="layer4",
         )(x, deterministic)
 
@@ -287,6 +307,7 @@ class ResNetPyramid(nn.Module):
     dropout_en: bool = False
     drop_rate: float = 0.0
     batchnorm_en: bool = True
+    zero_init_residual: bool = False
 
     @nn.compact
     def __call__(
@@ -299,6 +320,7 @@ class ResNetPyramid(nn.Module):
             dropout_en=self.dropout_en,
             drop_rate=self.drop_rate,
             batchnorm_en=self.batchnorm_en,
+            zero_init_residual=self.zero_init_residual,
         )
         x = ResNetStem(name="stem")(x)
         c2 = RematResStage(64, blocks[0], 1, name="layer1", **kw)(x, deterministic)

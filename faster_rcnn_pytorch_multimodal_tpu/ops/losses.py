@@ -84,7 +84,9 @@ def compute_bbox_var(bbox_samples: jnp.ndarray) -> jnp.ndarray:
     n = bbox_samples.shape[0]
     mean_sq = jnp.sum(bbox_samples, axis=0) ** 2
     var = jnp.sum(bbox_samples**2, axis=0) - mean_sq / n
-    return jnp.clip(var / (n - 1), 0.0)
+    # n == 1 (UC.E_NUM_SAMPLE=1) would be 0/0 -> NaN; a single sample has
+    # zero observable variance, which max(n-1, 1) yields exactly
+    return jnp.clip(var / max(n - 1, 1), 0.0)
 
 
 def categorical_entropy(cls_prob: jnp.ndarray) -> jnp.ndarray:

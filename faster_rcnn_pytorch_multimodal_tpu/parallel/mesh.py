@@ -20,7 +20,11 @@ def make_mesh(cfg: Config, devices: Optional[Sequence[jax.Device]] = None) -> Me
     """
     if devices is None:
         devices = jax.devices()
+    # an explicit device list wins over cfg.mesh.data: callers (the solver)
+    # pre-truncate to a batch divisor, and reshaping their shorter list to a
+    # larger cfg value would crash
     n = cfg.mesh.data if cfg.mesh.data > 0 else len(devices)
+    n = min(n, len(devices))
     return Mesh(np.asarray(devices[:n]).reshape(n), (cfg.mesh.axis_name,))
 
 

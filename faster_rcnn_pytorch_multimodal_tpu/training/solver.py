@@ -262,6 +262,17 @@ class Solver:
         elif self.pretrained_path:
             mode = 2 if cfg.preload_full else 1
             state = self.load_pretrained(state, self.pretrained_path, mode)
+        elif cfg.resnet.fixed_blocks >= 0 and cfg.net_variant.startswith("res"):
+            # fixed_blocks >= 0 freezes every BN parameter on the assumption
+            # that pretrained stats/affines were loaded; training a resnet
+            # from scratch like this leaves random frozen BN in the graph.
+            # Use --fixed_blocks -1 for from-scratch runs (which also enables
+            # zero_init_residual, see models/resnet.py).
+            print(
+                "WARNING: training from scratch with RESNET.FIXED_BLOCKS="
+                f"{cfg.resnet.fixed_blocks} >= 0: frozen random BN affines "
+                "will not train. Set FIXED_BLOCKS=-1 or preload weights."
+            )
         train_step = make_train_step(self.model, optimizer)
         eval_step = make_eval_step(self.model) if self.val_loader else None
 
