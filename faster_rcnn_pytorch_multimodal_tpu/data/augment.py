@@ -136,23 +136,27 @@ def test_dropout(points: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
     return points[0.8 > rng.rand(len(points))]
 
 
+def flip_boxes_h(boxes: np.ndarray, w: int) -> np.ndarray:
+    """x1y1x2y2 boxes mirrored about the vertical axis of a width-w image."""
+    out = boxes.copy()
+    if len(out):
+        out[:, 0] = w - 1 - boxes[:, 2]
+        out[:, 2] = w - 1 - boxes[:, 0]
+    return out
+
+
 def flip_image_boxes(
     image: np.ndarray, boxes: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Horizontal flip (ref minibatch.py USE_FLIPPED path)."""
-    w = image.shape[1]
-    out = boxes.copy()
-    out[:, 0] = w - 1 - boxes[:, 2]
-    out[:, 2] = w - 1 - boxes[:, 0]
-    return image[:, ::-1].copy(), out
+    return image[:, ::-1].copy(), flip_boxes_h(boxes, image.shape[1])
 
 
 def photometric_distort(
     image: np.ndarray, rng: np.random.RandomState
 ) -> np.ndarray:
-    """Lightweight photometric jitter standing in for the reference's
-    imgaug pipeline (blur/noise/HSV shifts, ref minibatch.py:563-597):
-    brightness, contrast, per-channel gain, gaussian noise."""
+    """Photometric jitter (brightness/contrast/per-channel gain/noise);
+    kept as a cheap standalone in addition to the full pipeline below."""
     img = image.astype(np.float32)
     if rng.rand() < 0.5:
         img = img + rng.uniform(-16, 16)
@@ -163,6 +167,206 @@ def photometric_distort(
     if rng.rand() < 0.3:
         img = img + rng.normal(0, 4, img.shape)
     return np.clip(img, 0, 255)
+
+
+# ---------------------------------------------------------------------------
+# Full image augmentation pipeline (parity with the reference's imgaug
+# Sequential, ref minibatch.py:563-597) — numpy/cv2, no imgaug dependency.
+# ---------------------------------------------------------------------------
+
+
+def _gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    import cv2
+
+    k = max(3, int(2 * round(3 * sigma) + 1))
+    return cv2.GaussianBlur(img, (k, k), sigma)
+
+
+def _photometric_stage(img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """SomeOf((0,2)) of [one-of-blurs/sharpen, per-channel gaussian noise,
+    hue+saturation shift] in random order (ref minibatch.py:565-578)."""
+    import cv2
+
+    ops = []
+
+    def blur_or_sharpen(x):
+        choice = rng.randint(4)
+        if choice == 0:  # GaussianBlur sigma (0.5, 2.5)
+            return _gaussian_blur(x, rng.uniform(0.5, 2.5))
+        if choice == 1:  # AverageBlur k (1, 3)
+            k = rng.randint(1, 4)
+            return cv2.blur(x, (k, k)) if k > 1 else x
+        if choice == 2:  # MedianBlur k (1, 3) — odd kernels only
+            k = rng.choice([1, 3])
+            return (
+                cv2.medianBlur(np.clip(x, 0, 255).astype(np.uint8), int(k)).astype(
+                    np.float32
+                )
+                if k > 1
+                else x
+            )
+        # Sharpen alpha (0, 1), lightness (0.75, 1.5)
+        alpha = rng.uniform(0.0, 1.0)
+        light = rng.uniform(0.75, 1.5)
+        blurred = _gaussian_blur(x, 1.0)
+        sharp = x + (x - blurred) * light
+        return (1 - alpha) * x + alpha * sharp
+
+    def noise(x):
+        scale = rng.uniform(0.0, 0.1 * 255)
+        return x + rng.normal(0, scale, x.shape).astype(np.float32)
+
+    def hue_sat(x):
+        # AddToHueAndSaturation((-5, 5)) — shift H and S in HSV space
+        hsv = cv2.cvtColor(
+            np.clip(x, 0, 255).astype(np.uint8), cv2.COLOR_BGR2HSV
+        ).astype(np.int16)
+        hsv[..., 0] = (hsv[..., 0] + rng.randint(-5, 6)) % 180
+        hsv[..., 1] = np.clip(hsv[..., 1] + rng.randint(-5, 6), 0, 255)
+        return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR).astype(
+            np.float32
+        )
+
+    ops = [blur_or_sharpen, noise, hue_sat]
+    n_apply = rng.randint(0, 3)  # SomeOf((0, 2))
+    for idx in rng.permutation(3)[:n_apply]:
+        img = ops[int(idx)](img)
+    return img
+
+
+def _affine_params(rng: np.random.RandomState):
+    """Sometimes(0.3) affine with the reference's ranges
+    (ref minibatch.py:579-586)."""
+    if rng.rand() >= 0.3:
+        return None
+    return {
+        "scale": (rng.uniform(0.9, 1.2), rng.uniform(0.9, 1.2)),
+        "translate": (rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05)),
+        "shear": rng.uniform(-0.05, 0.05),
+        "cval": rng.uniform(0, 255),
+    }
+
+
+def _affine_matrix(p, w: int, h: int) -> np.ndarray:
+    """2x3 matrix about the image center (imgaug Affine convention)."""
+    sx, sy = p["scale"]
+    shear = np.deg2rad(p["shear"])  # imgaug shear is degrees; range ±0.05deg
+    tx, ty = p["translate"][0] * w, p["translate"][1] * h
+    cx, cy = w / 2.0, h / 2.0
+    # translate(-c) -> scale/shear -> translate(c + t)
+    m = np.array(
+        [[sx, -np.sin(shear) * sx, 0.0], [0.0, sy * np.cos(shear), 0.0]],
+        np.float32,
+    )
+    m[:, 2] = [cx + tx - m[0, 0] * cx - m[0, 1] * cy, cy + ty - m[1, 0] * cx - m[1, 1] * cy]
+    return m
+
+
+def _transform_boxes_affine(boxes: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """x1y1x2y2 boxes -> transform 4 corners -> enclosing AABB (imgaug
+    bounding-box semantics)."""
+    if not len(boxes):
+        return boxes
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    corners = np.stack(
+        [
+            np.stack([x1, y1], -1),
+            np.stack([x2, y1], -1),
+            np.stack([x2, y2], -1),
+            np.stack([x1, y2], -1),
+        ],
+        axis=1,
+    )  # (G, 4, 2)
+    ones = np.ones(corners.shape[:2] + (1,), np.float32)
+    pts = np.concatenate([corners, ones], axis=-1) @ m.T  # (G, 4, 2)
+    out = boxes.copy()
+    out[:, 0] = pts[..., 0].min(axis=1)
+    out[:, 1] = pts[..., 1].min(axis=1)
+    out[:, 2] = pts[..., 0].max(axis=1)
+    out[:, 3] = pts[..., 1].max(axis=1)
+    return out
+
+
+def image_augment_pipeline(
+    img: np.ndarray,
+    boxes: np.ndarray,
+    boxes_dc: np.ndarray,
+    rng: np.random.RandomState,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The reference's train-time imgaug Sequential (ref minibatch.py:
+    563-597): photometric SomeOf stage, Sometimes(0.3) affine (boxes move
+    with the image), Sometimes(0.25) pixel dropout."""
+    import cv2
+
+    img = _photometric_stage(img.astype(np.float32), rng)
+
+    p = _affine_params(rng)
+    if p is not None:
+        h, w = img.shape[:2]
+        m = _affine_matrix(p, w, h)
+        order = int(rng.choice([0, 1]))  # nearest | bilinear
+        img = cv2.warpAffine(
+            img,
+            m,
+            (w, h),
+            flags=cv2.INTER_NEAREST if order == 0 else cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_CONSTANT,
+            borderValue=(p["cval"],) * 3,
+        )
+        boxes = _transform_boxes_affine(boxes, m)
+        boxes_dc = _transform_boxes_affine(boxes_dc, m)
+
+    if rng.rand() < 0.25:  # iaa.Dropout((0.01, 0.05), per_channel=0.5)
+        rate = rng.uniform(0.01, 0.05)
+        if rng.rand() < 0.5:
+            mask = rng.rand(*img.shape) >= rate
+        else:
+            mask = (rng.rand(*img.shape[:2]) >= rate)[..., None]
+        img = img * mask
+
+    return np.clip(img, 0, 255), boxes, boxes_dc
+
+
+def clip_and_ignore_boxes(
+    boxes: np.ndarray, ignore: np.ndarray, w: int, h: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Post-augmentation box re-clip + ignore rules (ref minibatch.py:
+    614-646): clip to the frame; ignore boxes whose clipped height/width
+    drops below 2 px or below 10% of the pre-clip size."""
+    boxes = boxes.copy()
+    ignore = ignore.copy()
+    if not len(boxes):
+        return boxes, ignore
+    h0 = boxes[:, 3] - boxes[:, 1]
+    w0 = boxes[:, 2] - boxes[:, 0]
+    boxes[:, 0] = np.clip(boxes[:, 0], 0, w - 1)
+    boxes[:, 2] = np.clip(boxes[:, 2], 0, w - 1)
+    boxes[:, 1] = np.clip(boxes[:, 1], 0, h - 1)
+    boxes[:, 3] = np.clip(boxes[:, 3], 0, h - 1)
+    hc = boxes[:, 3] - boxes[:, 1]
+    wc = boxes[:, 2] - boxes[:, 0]
+    ignore |= hc < 2
+    ignore |= wc < 2
+    ignore |= (h0 != 0) & (hc / np.where(h0 == 0, 1, h0) < 0.1)
+    ignore |= (w0 != 0) & (wc / np.where(w0 == 0, 1, w0) < 0.1)
+    return boxes, ignore
+
+
+def weather_corrupt(img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """Test-time image weather corruption (ref minibatch.py:648-664 applies
+    imgcorruptlike.Spatter severity 5).  Approximated without the
+    imagecorruptions dependency: a blurred random field thresholded into
+    mud-colored splotches composited over the frame."""
+    import cv2
+
+    h, w = img.shape[:2]
+    field = rng.rand(h, w).astype(np.float32)
+    field = cv2.GaussianBlur(field, (0, 0), max(h, w) / 100.0)
+    lo, hi = np.percentile(field, [78, 90])
+    splat = np.clip((field - lo) / max(hi - lo, 1e-6), 0, 1)[..., None]
+    mud = np.asarray([63.0, 86.0, 112.0], np.float32)  # BGR mud tone
+    out = img.astype(np.float32) * (1 - 0.8 * splat) + mud * (0.8 * splat)
+    return np.clip(out, 0, 255)
 
 
 def get_fov_flag(pts_rect: np.ndarray, img_size, calib=None) -> np.ndarray:

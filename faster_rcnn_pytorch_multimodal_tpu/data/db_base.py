@@ -18,15 +18,33 @@ import numpy as np
 from faster_rcnn_pytorch_multimodal_tpu.config import Config
 from faster_rcnn_pytorch_multimodal_tpu.data import augment as aug
 
+# canonical uncertainty keys + column order in det files (the 8-key
+# contract of ref filter_predictions.py:113-124 / test.py stack_uncertainties
+# insertion order); widths per key live in evaluation.eval_utils.uc_widths
 UC_KEYS = (
-    "a_bbox_var",
-    "a_cls_entropy",
+    "a_entropy",
+    "a_mutual_info",
     "a_cls_var",
-    "a_cls_mutual_info",
+    "a_bbox_var",
+    "e_entropy",
+    "e_mutual_info",
+    "e_cls_var",
     "e_bbox_var",
-    "e_cls_entropy",
-    "e_cls_mutual_info",
 )
+
+
+def _bev_aabb_of_7dof(boxes7: np.ndarray) -> np.ndarray:
+    """Graphics-Gems AABB of rotated BEV rectangles (numpy twin of
+    ops.iou.bbox_3d_to_bev_aabb; ref lib/utils/bbox.py:256-336)."""
+    if not len(boxes7):
+        return np.zeros((0, 4), np.float32)
+    x, y = boxes7[:, 0], boxes7[:, 1]
+    l, w = boxes7[:, 3], boxes7[:, 4]
+    ry = boxes7[:, 6]
+    c, s = np.abs(np.cos(ry)), np.abs(np.sin(ry))
+    ex = (l * c + w * s) / 2.0
+    ey = (l * s + w * c) / 2.0
+    return np.stack([x - ex, y - ey, x + ex, y + ey], axis=-1)
 
 
 class DetectionDB:
@@ -97,11 +115,26 @@ class DetectionDB:
         boxes = entry["boxes"].astype(np.float32).copy()  # (G, 7) meters
         classes = entry["gt_classes"].astype(np.float32)
         ignore = entry.get("ignore", np.zeros(len(boxes), bool)).copy()
+        boxes_dc = (
+            entry.get("boxes_dc", np.zeros((0, 7), np.float32))
+            .astype(np.float32)
+            .reshape(-1, 7)
+            .copy()
+        )
 
         if augment:
-            points, boxes, ignore = aug.augment_lidar_frame(
-                points, boxes, ignore, cfg, self._rng
+            # don't-care boxes ride the same geometric transforms as GT
+            n_gt = len(boxes)
+            stacked = np.vstack([boxes, boxes_dc])
+            stacked_ig = np.concatenate(
+                [ignore, np.zeros(len(boxes_dc), bool)]
             )
+            points, stacked, stacked_ig = aug.augment_lidar_frame(
+                points, stacked, stacked_ig, cfg, self._rng
+            )
+            boxes, boxes_dc = stacked[:n_gt], stacked[n_gt:]
+            ignore = stacked_ig[:n_gt]
+            boxes_dc = boxes_dc[~stacked_ig[n_gt:]]
         if self.mode == "test" or self.mode == "val":
             if cfg.test.rain_sim_en:
                 points = aug.rain_sim(
@@ -121,6 +154,10 @@ class DetectionDB:
         )
         gt_vg = self._boxes_pc_to_voxel_grid(boxes, scale)
         gt = np.hstack([gt_vg, classes[:, None]]).astype(np.float32)
+        # dc boxes feed proposal_target's dc suppression as BEV AABBs
+        # (ref proposal_target_layer.py:184-194 uses 4-col overlaps)
+        dc_vg = self._boxes_pc_to_voxel_grid(boxes_dc, scale)
+        gt_dc = _bev_aabb_of_7dof(dc_vg)
 
         voxel_len = cfg.lidar.voxel_len / scale
         num_x = int((cfg.lidar.x_range[1] - cfg.lidar.x_range[0]) / voxel_len)
@@ -128,6 +165,7 @@ class DetectionDB:
         return {
             "points": points.astype(np.float32),
             "gt_boxes": gt,
+            "gt_boxes_dc": gt_dc.astype(np.float32),
             "window": np.array([0, num_x, 0, num_y], np.float32),
             "info": np.array(
                 [0, num_x, 0, num_y, 0, cfg.lidar.num_slices, scale], np.float32
@@ -178,11 +216,35 @@ class DetectionDB:
         img = self._load_frame_data(entry).astype(np.float32)  # (H, W, 3) BGR
         boxes = entry["boxes"].astype(np.float32).copy()  # (G, 4) x1y1x2y2
         classes = entry["gt_classes"].astype(np.float32)
+        ignore = entry.get("ignore", np.zeros(len(boxes), bool)).copy()
+        boxes_dc = (
+            entry.get("boxes_dc", np.zeros((0, 4), np.float32))
+            .astype(np.float32)
+            .reshape(-1, 4)
+            .copy()
+        )
 
         if augment:
             if cfg.train.use_flipped and self._rng.rand() < 0.5:
                 img, boxes = aug.flip_image_boxes(img, boxes)
-            img = aug.photometric_distort(img, self._rng)
+                boxes_dc = aug.flip_boxes_h(boxes_dc, img.shape[1])
+            img, boxes, boxes_dc = aug.image_augment_pipeline(
+                img, boxes, boxes_dc, self._rng
+            )
+            # post-augmentation re-clip + ignore rules (ref minibatch.py:
+            # 614-646): affines can push boxes out of frame
+            h0, w0 = img.shape[:2]
+            boxes, ignore = aug.clip_and_ignore_boxes(boxes, ignore, w0, h0)
+            boxes_dc, dc_ig = aug.clip_and_ignore_boxes(
+                boxes_dc, np.zeros(len(boxes_dc), bool), w0, h0
+            )
+            boxes_dc = boxes_dc[~dc_ig]
+        elif self.mode in ("test", "val") and cfg.test.augment_en:
+            # test-time weather corruption (ref minibatch.py:648-664)
+            img = aug.weather_corrupt(img, self._rng)
+
+        keep = ~ignore
+        boxes, classes = boxes[keep], classes[keep]
 
         scale = float(
             cfg.train.scales[0] if self.mode == "train" else cfg.test.scales[0]
@@ -194,6 +256,7 @@ class DetectionDB:
                 img, None, fx=scale, fy=scale, interpolation=cv2.INTER_LINEAR
             )
             boxes = boxes * scale
+            boxes_dc = boxes_dc * scale
 
         img = (img - np.asarray(cfg.pixel_means, np.float32)) / np.asarray(
             cfg.pixel_stddevs, np.float32
@@ -203,24 +266,44 @@ class DetectionDB:
         return {
             "data": img,
             "gt_boxes": gt,
+            "gt_boxes_dc": boxes_dc.astype(np.float32),
             "window": np.array([0, w, 0, h], np.float32),
             "filename": entry["filename"],
         }
 
     # -- results writing (ref db.py:305-367) --------------------------------
 
-    def write_image_results(self, all_boxes, frame_ids, out_dir: str):
-        """Per-class text files: frame_id score x1 y1 x2 y2 (5-col + id)."""
+    def write_image_results(self, all_boxes, frame_ids, out_dir: str, uncertainties=None):
+        """Per-class text files: frame_id score x1 y1 x2 y2 [uc columns]
+        (ref db.py:305-334; trailing uncertainty columns in UC_KEYS order)."""
         os.makedirs(out_dir, exist_ok=True)
         for j in range(1, self.num_classes):
             path = os.path.join(out_dir, f"det_{self.mode}_{self.classes[j]}.txt")
             with open(path, "w") as f:
                 for i, fid in enumerate(frame_ids):
-                    for row in np.atleast_2d(all_boxes[j][i]) if len(all_boxes[j][i]) else []:
-                        f.write(
+                    rows = all_boxes[j][i]
+                    if not len(rows):
+                        continue
+                    for r_idx, row in enumerate(np.atleast_2d(rows)):
+                        line = (
                             f"{fid} {row[4]:.6f} {row[0]:.2f} {row[1]:.2f} "
-                            f"{row[2]:.2f} {row[3]:.2f}\n"
+                            f"{row[2]:.2f} {row[3]:.2f}"
                         )
+                        line += self._uc_columns(uncertainties, j, i, r_idx)
+                        f.write(line + "\n")
+
+    def _uc_columns(self, uncertainties, j: int, i: int, r_idx: int) -> str:
+        """Trailing uncertainty columns for one det row (UC_KEYS order)."""
+        if uncertainties is None or not len(uncertainties[j]) or not uncertainties[j][i]:
+            return ""
+        out = ""
+        for key in UC_KEYS:
+            u = uncertainties[j][i].get(key)
+            if u is not None:
+                out += " " + " ".join(
+                    f"{v:.10f}" for v in np.atleast_1d(u[r_idx]).ravel()
+                )
+        return out
 
     def write_lidar_results(self, all_boxes, frame_ids, out_dir: str, uncertainties=None):
         """Per-class text files: frame_id score xc yc zc l w h ry [uc...]."""

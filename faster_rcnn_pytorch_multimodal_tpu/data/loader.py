@@ -58,17 +58,35 @@ class BatchLoader:
     # -- sampler state (resume) --------------------------------------------
 
     def state_dict(self) -> Dict[str, np.ndarray]:
+        # full MT19937 state so a resumed run draws the SAME shuffle +
+        # augmentation stream as an uninterrupted one (the reference
+        # snapshots/restores np randomness, ref train_val.py:100-140)
+        kind, keys, pos, has_gauss, cached = self._rng.get_state()
+        assert kind == "MT19937"
         return {
             "cur": np.asarray(self._cur),
             "perm": np.asarray(self._perm),
             "epoch": np.asarray(self._epoch),
-            "rng": np.asarray(self._rng.get_state()[1]),
+            "rng": np.asarray(keys),
+            "rng_pos": np.asarray(pos),
+            "rng_has_gauss": np.asarray(has_gauss),
+            "rng_cached": np.asarray(cached),
         }
 
     def load_state_dict(self, state: Dict[str, np.ndarray]):
         self._cur = int(state["cur"])
         self._perm = np.asarray(state["perm"])
         self._epoch = int(state["epoch"])
+        if "rng" in state:
+            # pos defaults to 624 (exhausted block) for old checkpoints that
+            # saved only the key buffer
+            self._rng.set_state((
+                "MT19937",
+                np.asarray(state["rng"], np.uint32),
+                int(state.get("rng_pos", 624)),
+                int(state.get("rng_has_gauss", 0)),
+                float(state.get("rng_cached", 0.0)),
+            ))
 
     # -- iteration -------------------------------------------------------
 
@@ -77,6 +95,11 @@ class BatchLoader:
         return self._rng.permutation(n) if self.shuffle else np.arange(n)
 
     def _next_indices(self) -> np.ndarray:
+        if self.cfg.debug.freeze_db:
+            # pin the sampler to one frame (ref DEBUG.FREEZE_DB,
+            # lib/roi_data_layer/layer.py:57-58) — overfit-one-frame debugging
+            idx = self.cfg.debug.freeze_db_inds % len(self.dataset)
+            return np.full((self.batch_size,), idx, np.int64)
         out = []
         for _ in range(self.batch_size):
             if self._cur >= len(self._perm):
@@ -186,6 +209,20 @@ class BatchLoader:
             "window": window,
         }
 
+        # don't-care regions (always 4-col: image x1y1x2y2 / lidar BEV AABB)
+        # feed proposal_target's dc suppression when TRAIN.IGNORE_DC
+        d = cfg.static.max_gt_dc
+        dc = np.zeros((b, d, 4), np.float32)
+        dc_mask = np.zeros((b, d), bool)
+        for i, f in enumerate(frames):
+            fdc = f.get("gt_boxes_dc")
+            if fdc is not None and len(fdc):
+                fdc = fdc[:d]
+                dc[i, : len(fdc)] = fdc
+                dc_mask[i, : len(fdc)] = True
+        batch["gt_boxes_dc"] = dc
+        batch["dc_mask"] = dc_mask
+
         if cfg.net_type == "lidar":
             p = cfg.static.max_points
             pts = np.zeros((b, p, 5), np.float32)
@@ -218,4 +255,33 @@ class BatchLoader:
                 fh, fw = f["data"].shape[:2]
                 data[i, :fh, :fw] = f["data"]
             batch["data"] = data
+        if cfg.debug.draw_minibatch:
+            self._draw_minibatch(batch, indices)
         return batch
+
+    def _draw_minibatch(self, batch: Dict[str, np.ndarray], indices: np.ndarray):
+        """DEBUG.DRAW_MINIBATCH: dump each sampled frame with its GT boxes
+        (ref minibatch.py:35-107 draw_and_save_{image,lidar}_minibatch)."""
+        import os
+
+        from faster_rcnn_pytorch_multimodal_tpu.utils import visualization as viz
+
+        out_dir = os.path.join("debug", "minibatch_draws")
+        data = np.asarray(batch["data"])
+        for i, idx in enumerate(indices):
+            gt = batch["gt_boxes"][i][batch["gt_mask"][i]]
+            if self.cfg.net_type == "lidar":
+                canvas = viz.draw_detections_bev(
+                    data[i], np.zeros((0, 8)), gt7=gt
+                )
+            else:
+                img = data[i] * np.asarray(self.cfg.pixel_stddevs) + np.asarray(
+                    self.cfg.pixel_means
+                )
+                canvas = img[:, :, ::-1]
+                if len(gt):
+                    canvas = viz.draw_bounding_boxes(canvas, gt)
+            viz.save_image(
+                canvas,
+                os.path.join(out_dir, f"mb_{self._epoch}_{self._cur}_{int(idx)}.png"),
+            )

@@ -188,6 +188,15 @@ class WaymoDB(DetectionDB):
                     f"{self.classes[j]} L{level} AP({eval_type}@{iou_t}) = "
                     f"{res['ap']:.4f} (npos={res['npos']})"
                 )
+                if level == 2 and self.cfg.debug.test_frame_print:
+                    # ref DEBUG.TEST_FRAME_PRINT -> display_frame_counts
+                    from faster_rcnn_pytorch_multimodal_tpu.evaluation.eval_utils import (
+                        display_frame_counts,
+                    )
+
+                    display_frame_counts(
+                        res["tp_frame"], res["fp_frame"], res["npos_frame"]
+                    )
         return results
 
 

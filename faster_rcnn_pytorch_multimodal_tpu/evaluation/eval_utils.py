@@ -179,6 +179,159 @@ def ap(rec: np.ndarray, prec: np.ndarray) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Uncertainty det-file surface (ref waymo_eval.py:106, 148-155, 207-221 +
+# the missing eval_utils functions it calls, SURVEY.md §2.14)
+# ---------------------------------------------------------------------------
+
+# det-file trailing-column order (matches data.db_base.UC_KEYS / the
+# reference's stack_uncertainties dict insertion order, test.py:260-270)
+UC_ORDER = (
+    "a_entropy",
+    "a_mutual_info",
+    "a_cls_var",
+    "a_bbox_var",
+    "e_entropy",
+    "e_mutual_info",
+    "e_cls_var",
+    "e_bbox_var",
+)
+
+
+def uc_widths(bbox_elem: int, num_classes: int) -> dict:
+    """Column width of each uncertainty key in the det files."""
+    return {
+        "a_entropy": 1,
+        "a_mutual_info": 1,
+        "a_cls_var": num_classes,
+        "a_bbox_var": bbox_elem,
+        "e_entropy": 1,
+        "e_mutual_info": 1,
+        "e_cls_var": num_classes,
+        "e_bbox_var": bbox_elem,
+    }
+
+
+def extract_uncertainties(
+    bbox_elem: int,
+    splitlines: list,
+    num_classes: int = 2,
+    keys: tuple | None = None,
+) -> tuple:
+    """Parse det-file trailing uncertainty columns (ref waymo_eval.py:106).
+
+    splitlines: tokenized det-file lines [frame_id, score, b0..b_{E-1}, uc...].
+    keys: which uncertainty keys are present; None = infer from the column
+    count (enabled-UC flags determine the layout, like the reference's cfg).
+
+    Returns (uc_avg, uncertainties):
+      uncertainties: {key: (N, width) float array} per det line;
+      uc_avg: {key: {} } per-scene accumulators the caller fills via
+        uc_avg[key][scene] += uncertainties[key][i] (ref :148-155).
+    """
+    n = len(splitlines)
+    n_lead = 2 + bbox_elem
+    n_trail = (len(splitlines[0]) - n_lead) if n else 0
+    widths = uc_widths(bbox_elem, num_classes)
+    if keys is None:
+        keys = _infer_uc_keys(n_trail, widths)
+    uncertainties = {}
+    col = n_lead
+    for key in UC_ORDER:
+        if key not in keys:
+            continue
+        w = widths[key]
+        arr = np.zeros((n, w), np.float64)
+        for i, toks in enumerate(splitlines):
+            arr[i] = [float(t) for t in toks[col : col + w]]
+        uncertainties[key] = arr
+        col += w
+    uc_avg = {key: {} for key in uncertainties}
+    return uc_avg, uncertainties
+
+
+def _infer_uc_keys(n_trail: int, widths: dict) -> tuple:
+    """Infer the enabled-UC key set from the trailing column count.  Tries
+    the reference's three common configs (aleatoric / epistemic / both)."""
+    a_keys = ("a_entropy", "a_mutual_info", "a_cls_var", "a_bbox_var")
+    e_keys = ("e_entropy", "e_mutual_info", "e_cls_var", "e_bbox_var")
+    for cand in (a_keys + e_keys, a_keys, e_keys, ()):
+        if sum(widths[k] for k in cand) == n_trail:
+            return cand
+    raise ValueError(
+        f"cannot infer uncertainty layout from {n_trail} trailing columns"
+    )
+
+
+def find_rec(class_recs, token):
+    """Frame record lookup by frame token (ref waymo_eval.py:141)."""
+    if isinstance(class_recs, dict):
+        return class_recs.get(token)
+    for rec in class_recs:
+        if rec.get("frame_id") == token or rec.get("idx") == token:
+            return rec
+    return None
+
+
+def accumulate_scene_uncertainty(
+    uc_avg: dict, uncertainties: dict, det_idx: int, scene: int
+):
+    """uc_avg[key][scene] += per-det uncertainty (ref waymo_eval.py:148-151)."""
+    for key, val in uncertainties.items():
+        acc = uc_avg[key]
+        acc[scene] = acc.get(scene, 0.0) + val[det_idx]
+
+
+def write_scene_uncertainty(uc_avg: dict, scene_dets: float, i) -> str:
+    """Per-scene average uncertainty line (ref waymo_eval.py:207-212);
+    '' when the scene produced no detections."""
+    if not scene_dets:
+        return ""
+    parts = [f"scene_idx: {i} num_dets: {int(scene_dets)}"]
+    for key in UC_ORDER:
+        if key in uc_avg and i in uc_avg[key]:
+            avg = np.atleast_1d(uc_avg[key][i] / scene_dets).ravel()
+            parts.append(f"{key}: " + " ".join(f"{v:.10f}" for v in avg))
+    return " ".join(parts) if len(parts) > 1 else ""
+
+
+def write_frame_uncertainty(uc_frame: dict, frame_dets: float, fid) -> str:
+    """Per-frame variant (ref waymo_eval.py write_frame_uncertainty)."""
+    if not frame_dets:
+        return ""
+    parts = [f"frame_id: {fid} num_dets: {int(frame_dets)}"]
+    for key in UC_ORDER:
+        if key in uc_frame and fid in uc_frame[key]:
+            avg = np.atleast_1d(uc_frame[key][fid] / frame_dets).ravel()
+            parts.append(f"{key}: " + " ".join(f"{v:.10f}" for v in avg))
+    return " ".join(parts) if len(parts) > 1 else ""
+
+
+def display_frame_counts(tp_frame, fp_frame, npos_frame) -> str:
+    """Frame-level TP/FP/npos table (ref waymo_eval.py:215-221)."""
+    lines = []
+    for fid in sorted(npos_frame):
+        lines.append(
+            f"frame {fid}: tp {int(tp_frame.get(fid, 0))} "
+            f"fp {int(fp_frame.get(fid, 0))} npos {int(npos_frame[fid])}"
+        )
+    out = "\n".join(lines)
+    print(out)
+    return out
+
+
+def save_detection_results(lines: list, out_dir: str, out_file: str) -> str:
+    """ref waymo_eval.py:218 (eval_utils.save_detection_results)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, out_file)
+    with open(path, "w") as f:
+        for line in lines:
+            f.write(str(line) + "\n")
+    return path
+
+
+# ---------------------------------------------------------------------------
 # Greedy matching evaluation (the skeleton shared by waymo/kitti/cadc eval)
 # ---------------------------------------------------------------------------
 
@@ -213,23 +366,34 @@ def evaluate_class(
     dets = sorted(detections, key=lambda d: -d["confidence"])
     tp = np.zeros(len(dets))
     fp = np.zeros(len(dets))
+    # frame-level TP/FP/npos counts (ref waymo_eval.py tp_frame/fp_frame/
+    # npos_frame, :113-115, 186-201)
+    tp_frame = {fid: 0 for fid in gt_frames}
+    fp_frame = {fid: 0 for fid in gt_frames}
+    npos_frame = {fid: int(m.sum()) for fid, m in count_mask.items()}
     for i, det in enumerate(dets):
-        g = gt_frames.get(det["frame_id"])
+        fid = det["frame_id"]
+        g = gt_frames.get(fid)
         if g is None or len(g["boxes"]) == 0:
             fp[i] = 1.0
+            if fid in fp_frame:
+                fp_frame[fid] += 1
             continue
         overlaps = iou(g["boxes"], det["bbox"], eval_type)
         j = int(np.argmax(overlaps))
         if overlaps[j] >= iou_thresh:
-            if not count_mask[det["frame_id"]][j]:
+            if not count_mask[fid][j]:
                 continue  # matched an ignored/out-of-level GT: neither TP nor FP
-            if not matched[det["frame_id"]][j]:
-                matched[det["frame_id"]][j] = True
+            if not matched[fid][j]:
+                matched[fid][j] = True
                 tp[i] = 1.0
+                tp_frame[fid] += 1
             else:
                 fp[i] = 1.0  # duplicate detection
+                fp_frame[fid] += 1
         else:
             fp[i] = 1.0
+            fp_frame[fid] += 1
 
     ctp, cfp = np.cumsum(tp), np.cumsum(fp)
     rec = ctp / max(npos, 1)
@@ -241,4 +405,7 @@ def evaluate_class(
         "npos": npos,
         "tp": int(ctp[-1]) if len(dets) else 0,
         "fp": int(cfp[-1]) if len(dets) else 0,
+        "tp_frame": tp_frame,
+        "fp_frame": fp_frame,
+        "npos_frame": npos_frame,
     }

@@ -202,6 +202,11 @@ def propose_one(
     )
 
 
+def _mc_roi_head(mdl: "FasterRCNN", feats, rois):
+    """MC-dropout sample body for nn.vmap (module passed as first arg)."""
+    return mdl.roi_head(feats, rois, deterministic=False)
+
+
 # ---------------------------------------------------------------------------
 # The detector
 # ---------------------------------------------------------------------------
@@ -251,18 +256,33 @@ class FasterRCNN(nn.Module):
             self.tail = MobileNetV1Tail(depth_multiplier=mult)
         elif c.use_fpn:
             num_layers = int(c.net_variant.replace("res", "") or 101)
+            # zero-init the residual-terminator BN scale only when the BN
+            # affine trains (fixed_blocks == -1, from-scratch); otherwise the
+            # frozen zero would kill every residual branch (see resnet.py
+            # module docstring).
+            zir = c.resnet.fixed_blocks == -1
             self.backbone = ResNetPyramid(
-                num_layers, dropout_en=dropout_en, drop_rate=resnet_drop
+                num_layers,
+                dropout_en=dropout_en,
+                drop_rate=resnet_drop,
+                zero_init_residual=zir,
             )
             self.fpn = FPN(planes=256)
             self.tail = FCTail(self.fc7_channels)
         else:
             num_layers = int(c.net_variant.replace("res", "") or 101)
+            zir = c.resnet.fixed_blocks == -1
             self.backbone = ResNetC4(
-                num_layers, dropout_en=dropout_en, drop_rate=resnet_drop
+                num_layers,
+                dropout_en=dropout_en,
+                drop_rate=resnet_drop,
+                zero_init_residual=zir,
             )
             self.tail = ResNetLayer4(
-                num_layers, dropout_en=dropout_en, drop_rate=resnet_drop
+                num_layers,
+                dropout_en=dropout_en,
+                drop_rate=resnet_drop,
+                zero_init_residual=zir,
             )
         self.rpn = RPNHead(rpn_channels=c.rpn_channels, num_anchors=c.num_anchors)
         if uc.en_rpn_bbox_aleatoric:
@@ -632,14 +652,26 @@ class FasterRCNN(nn.Module):
 
         t = uc.e_num_sample if uc.any_epistemic else 1
         if uc.any_epistemic:
-            # MC dropout: run tail+predictors T times with fresh masks
-            det_samples = [
-                self.roi_head(feats, rois, deterministic=False) for _ in range(t)
-            ]
+            # MC dropout as a VMAPPED sample axis (SURVEY §2.17 plan):
+            # params broadcast, dropout rng splits per sample — one traced
+            # tail instead of T unrolled copies (replaces the reference's
+            # set_e_num_sample python loop, ref test.py:73-77)
+            mc_head = nn.vmap(
+                _mc_roi_head,
+                in_axes=(None, None),
+                out_axes=0,
+                axis_size=t,
+                variable_axes={"params": None},
+                split_rngs={"dropout": True},
+            )
+            det = mc_head(self, feats, rois)  # dict of (T, B, S, ·)
         else:
-            det_samples = [self.roi_head(feats, rois, deterministic=True)]
-        cls_scores = jnp.stack([d["cls_score"] for d in det_samples])  # (T,B,S,K)
-        bbox_preds = jnp.stack([d["bbox_pred"] for d in det_samples])
+            det = jax.tree.map(
+                lambda x: x[None], self.roi_head(feats, rois, deterministic=True)
+            )
+        det0 = jax.tree.map(lambda x: x[0], det)  # sample-independent heads
+        cls_scores = det["cls_score"]  # (T, B, S, K)
+        bbox_preds = det["bbox_pred"]
 
         cls_prob = jnp.mean(jax.nn.softmax(cls_scores, axis=-1), axis=0)
         bbox_pred = jnp.mean(bbox_preds, axis=0)  # (B, S, EK)
@@ -678,7 +710,7 @@ class FasterRCNN(nn.Module):
 
         un: Dict[str, jnp.ndarray] = {}
         if uc.en_cls_aleatoric:
-            cls_var = jnp.exp(det_samples[0]["cls_al_var"])  # (B,S,K)
+            cls_var = jnp.exp(det0["cls_al_var"])  # (B,S,K)
             rng = jax.random.PRNGKey(0)  # test-time sampling is fixed-seed
             samples = (
                 cls_scores[0][None]
@@ -694,7 +726,7 @@ class FasterRCNN(nn.Module):
             un["a_mutual_info"] = categorical_mutual_information(flat).reshape(b, s)
             un["a_cls_var"] = cls_var
         if uc.en_bbox_aleatoric:
-            a_var = jnp.exp(det_samples[0]["bbox_al_var"])  # (B,S,EK) variance
+            a_var = jnp.exp(det0["bbox_al_var"])  # (B,S,EK) variance
             if is_lidar:
                 un["a_bbox_var"] = jax.vmap(lidar_3d_uncertainty_transform_inv)(
                     rois, roi_a3d, jnp.sqrt(a_var)

@@ -99,8 +99,18 @@ def main(argv=None):
 
     n_frames = len(db) if args.max_frames <= 0 else min(len(db), args.max_frames)
     all_boxes = [[[] for _ in range(n_frames)] for _ in range(num_classes)]
+    all_uncertainties = [[{} for _ in range(n_frames)] for _ in range(num_classes)]
     detections = {j: [] for j in range(1, num_classes)}
     gt_frames = {}
+
+    # one frame-id source for det files, eval joins, and uncertainty
+    # analysis: the roidb's frame_id when the dataset has one (synthetic
+    # fallback keeps standalone runs working)
+    def _fid(i: int) -> str:
+        roidb = getattr(db, "roidb", None)
+        if roidb is not None and i < len(roidb):
+            return str(roidb[i].get("frame_id", f"frame_{i:06d}"))
+        return f"frame_{i:06d}"
 
     t_det = 0.0
     frame_idx = 0
@@ -128,7 +138,7 @@ def main(argv=None):
             )
             uc = {k: np.asarray(v[i]) for k, v in out.get("uncertainties", {}).items()}
             boxes_j, _uc_j = to_per_class_lists(filt, uc, num_classes, bbox_elem)
-            fid = f"frame_{frame_idx:06d}"
+            fid = _fid(frame_idx)
             if args.draw_det and frame_idx < args.draw_det:
                 _draw_frame(
                     cfg, db, frame_idx, boxes_j, _uc_j, num_classes,
@@ -136,6 +146,7 @@ def main(argv=None):
                 )
             for j in range(1, num_classes):
                 all_boxes[j][frame_idx] = boxes_j[j]
+                all_uncertainties[j][frame_idx] = _uc_j[j]
                 for row in boxes_j[j]:
                     detections[j].append(
                         {"frame_id": fid, "bbox": row[:bbox_elem], "confidence": row[-1]}
@@ -154,34 +165,95 @@ def main(argv=None):
     print(f"detect: {t_det / max(n_frames,1):.4f}s/frame "
           f"({n_frames / max(t_det, 1e-9):.2f} frames/s)")
 
+    # convert detections out of network frame space BEFORE anything is
+    # written (ref test.py:213-224 does this per frame before all_boxes):
+    # lidar voxel-grid -> meters; image TEST.SCALES pixels -> raw pixels
+    scale = float(cfg.test.scales[0])
+    for j in range(1, num_classes):
+        for i in range(n_frames):
+            rows = (
+                np.atleast_2d(np.asarray(all_boxes[j][i], np.float32))
+                if len(all_boxes[j][i])
+                else np.zeros((0, bbox_elem + 1), np.float32)
+            )
+            if len(rows):
+                if is_lidar:
+                    rows[:, :7] = db.boxes_voxel_grid_to_pc(rows[:, :7], scale)
+                else:
+                    rows[:, :4] /= scale
+            all_boxes[j][i] = rows
+
     out_dir = os.path.join(args.out_dir, "eval", db.name)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "detections.pkl"), "wb") as f:
         pickle.dump(all_boxes, f)  # ref test.py:252-254
 
-    # per-class det text files (ref db.py:305-367)
-    frame_ids = [f"frame_{i:06d}" for i in range(n_frames)]
+    # per-class det text files incl. trailing uncertainty columns
+    # (ref db.py:305-367)
+    frame_ids = [_fid(i) for i in range(n_frames)]
+    have_uc = any(
+        len(all_uncertainties[j][i])
+        for j in range(1, num_classes)
+        for i in range(n_frames)
+    )
+    uc_arg = all_uncertainties if have_uc else None
     if hasattr(db, "write_lidar_results") and is_lidar:
-        db.write_lidar_results(all_boxes, frame_ids, out_dir)
+        db.write_lidar_results(all_boxes, frame_ids, out_dir, uncertainties=uc_arg)
     elif hasattr(db, "write_image_results"):
-        db.write_image_results(all_boxes, frame_ids, out_dir)
+        db.write_image_results(all_boxes, frame_ids, out_dir, uncertainties=uc_arg)
 
-    # difficulty-aware dataset evaluation on real datasets: detections in
-    # voxel-grid space convert back to meters (ref test.py:223-224) and the
-    # roidb supplies per-box difficulty
+    # per-scene / per-frame uncertainty analysis: read the det files back,
+    # aggregate by the roidb's scene index (ref waymo_eval.py:106, 148-155,
+    # 207-221 via the reconstructed eval_utils surface)
+    if have_uc:
+        from faster_rcnn_pytorch_multimodal_tpu.evaluation import eval_utils as eu
+
+        scene_of_frame = {}
+        roidb = getattr(db, "roidb", None)
+        for i in range(n_frames):
+            e = roidb[i] if roidb is not None and i < len(roidb) else {}
+            scene_of_frame[frame_ids[i]] = int(e.get("scene_idx", 0))
+        for j in range(1, num_classes):
+            det_path = os.path.join(out_dir, f"det_{db.mode}_{db.classes[j]}.txt")
+            if not os.path.exists(det_path):
+                continue
+            with open(det_path) as f:
+                splitlines = [l.strip().split(" ") for l in f if l.strip()]
+            if not splitlines:
+                continue
+            uc_avg, uc_per_det = eu.extract_uncertainties(
+                bbox_elem, splitlines, num_classes=num_classes
+            )
+            det_cnt = {}
+            for i, toks in enumerate(splitlines):
+                scene = scene_of_frame.get(toks[0], 0)
+                eu.accumulate_scene_uncertainty(uc_avg, uc_per_det, i, scene)
+                det_cnt[scene] = det_cnt.get(scene, 0) + 1
+            lines = [
+                eu.write_scene_uncertainty(uc_avg, det_cnt[s], s)
+                for s in sorted(det_cnt)
+            ]
+            lines = [l for l in lines if l]
+            if lines:
+                if cfg.debug.print_scene_result:  # ref DEBUG.PRINT_SCENE_RESULT
+                    for l in lines:
+                        print(l)
+                p = eu.save_detection_results(
+                    lines, out_dir, f"{db.classes[j]}_scene_uncertainty_results.txt"
+                )
+                print(f"wrote scene uncertainty aggregates to {p}")
+
+    # difficulty-aware dataset evaluation on real datasets: all_boxes are
+    # already in meters / raw pixels (above) and the roidb supplies per-box
+    # difficulty
     if args.eval_det and hasattr(db, "roidb") and hasattr(db, "evaluate_detections"):
-        scale = float(cfg.test.scales[0])
         det_by_class = {j: [] for j in range(1, num_classes)}
         for j in range(1, num_classes):
             for i in range(n_frames):
-                rows = np.atleast_2d(all_boxes[j][i]) if len(all_boxes[j][i]) else []
-                for row in rows:
-                    bb = row[:bbox_elem].copy()
-                    if is_lidar:
-                        bb = db.boxes_voxel_grid_to_pc(bb[None], scale)[0]
+                for row in all_boxes[j][i]:
                     det_by_class[j].append(
-                        {"frame_id": db.roidb[i].get("frame_id", frame_ids[i]),
-                         "bbox": bb, "confidence": row[-1]}
+                        {"frame_id": frame_ids[i],
+                         "bbox": row[:bbox_elem].copy(), "confidence": row[-1]}
                     )
         gt_by_class = {}
         for j in range(1, num_classes):
@@ -189,7 +261,7 @@ def main(argv=None):
             for i in range(n_frames):
                 e = db.roidb[i]
                 sel = e["gt_classes"] == j
-                gt_by_class[j][e.get("frame_id", frame_ids[i])] = {
+                gt_by_class[j][frame_ids[i]] = {
                     "boxes": e["boxes"][sel],
                     "difficulty": e.get("difficulty", np.zeros(sel.sum()))[sel]
                     if len(e.get("difficulty", [])) == len(sel)
