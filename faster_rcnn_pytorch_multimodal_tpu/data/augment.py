@@ -18,6 +18,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 from faster_rcnn_pytorch_multimodal_tpu.config import Config
+from faster_rcnn_pytorch_multimodal_tpu.native import pc_ops
 
 
 def rotate_points_along_z(points: np.ndarray, angle: float) -> np.ndarray:
@@ -54,18 +55,20 @@ def augment_lidar_frame(
     rotate = lc.en_aug_rotate and rng.choice([True, False], p=[0.3, 0.7])
     swap = lc.en_aug_swap_x_y and rng.choice([True, False], p=[0.3, 0.7])
 
+    # per-point transforms run through the native library (numpy fallback
+    # inside pc_ops when the .so is unavailable); the decision draws and
+    # box math stay on the loader RNG so the stream is resume-deterministic
     if gauss:  # ref :310-321
-        for axis, hi in ((0, 0.07), (1, 0.07), (2, 0.05)):
-            sigma = rng.uniform(0.0, hi)
-            points[:, axis] += rng.normal(0, sigma, size=len(points))
+        sigmas = [rng.uniform(0.0, 0.07), rng.uniform(0.0, 0.07), rng.uniform(0.0, 0.05)]
+        points = pc_ops.pc_gauss_distort(points, sigmas, int(rng.randint(1 << 31)))
 
     if dropout:  # ref :323-327
         p_keep = rng.uniform(0.8, 1.0)
-        points = points[p_keep > rng.rand(len(points))]
+        points = pc_ops.pc_dropout(points, float(p_keep), int(rng.randint(1 << 31)))
 
     if rotate:  # ref :337-352
         ang = rng.uniform(-np.pi / 2, np.pi / 2)
-        points = rotate_points_along_z(points, ang)
+        points = pc_ops.pc_rotate_z(points, float(ang))
         if len(boxes):
             boxes[:, :3] = rotate_points_along_z(boxes[:, :3], ang)
             boxes[:, 6] += ang
@@ -77,20 +80,18 @@ def augment_lidar_frame(
         boxes[:, 0] = by - lc.y_range[0]
         boxes[:, 1] = bx - x_mean
         boxes[:, 6] = -boxes[:, 6] + np.pi / 2.0
-        px, py = points[:, 0].copy(), points[:, 1].copy()
-        points[:, 0] = py - lc.y_range[0]
-        points[:, 1] = px - x_mean
+        points = pc_ops.pc_swap_xy(points, float(lc.y_range[0]), float(x_mean))
         if len(boxes):
             ignore |= ~_in_range(boxes, lc)
 
     if flip_y:  # ref :379-388
-        points[:, 1] = -points[:, 1]
+        points = pc_ops.pc_flip_y(points)
         y_mean = (lc.y_range[0] + lc.y_range[1]) / 2.0
         boxes[:, 1] = -(boxes[:, 1] - y_mean) + y_mean
         boxes[:, 6] = -boxes[:, 6]
 
     if flip_x:  # ref :390-395
-        points[:, 0] = -points[:, 0] + lc.x_range[1]
+        points = pc_ops.pc_flip_x(points, float(lc.x_range[1]))
         x_mean = (lc.x_range[0] + lc.x_range[1]) / 2.0
         boxes[:, 0] = -(boxes[:, 0] - x_mean) + x_mean
         boxes[:, 6] = -boxes[:, 6]

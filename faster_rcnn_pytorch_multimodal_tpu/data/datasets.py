@@ -35,6 +35,8 @@ def _autoload():
     from faster_rcnn_pytorch_multimodal_tpu.data import kitti  # noqa: F401
     from faster_rcnn_pytorch_multimodal_tpu.data import cadc  # noqa: F401
     from faster_rcnn_pytorch_multimodal_tpu.data import nuscenes  # noqa: F401
+    from faster_rcnn_pytorch_multimodal_tpu.data import pascal_voc  # noqa: F401
+    from faster_rcnn_pytorch_multimodal_tpu.data import coco  # noqa: F401
 
 
 try:

@@ -136,15 +136,21 @@ class DetectionDB:
             ignore = stacked_ig[:n_gt]
             boxes_dc = boxes_dc[~stacked_ig[n_gt:]]
         if self.mode == "test" or self.mode == "val":
+            # sensor fault injection runs through the native library
+            # (seeded from the dataset RNG, numpy fallback inside pc_ops)
+            from faster_rcnn_pytorch_multimodal_tpu.native import pc_ops
+
             if cfg.test.rain_sim_en:
-                points = aug.rain_sim(
+                points = pc_ops.pc_rain_sim(
                     points,
-                    cfg.test.rain_rate,
-                    self._lidar_max_range(),
-                    self._rng,
+                    float(cfg.test.rain_rate),
+                    float(self._lidar_max_range()),
+                    int(self._rng.randint(1 << 31)),
                 )
             if cfg.test.dropout_en:
-                points = aug.test_dropout(points, self._rng)
+                points = pc_ops.pc_dropout(
+                    points, 0.8, int(self._rng.randint(1 << 31))
+                )
 
         keep = ~ignore[: len(boxes)]
         boxes, classes = boxes[keep], classes[keep]

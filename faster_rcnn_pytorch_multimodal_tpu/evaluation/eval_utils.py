@@ -167,9 +167,17 @@ def _iou_3d(a7: np.ndarray, b7: np.ndarray) -> float:
 # ---------------------------------------------------------------------------
 
 
-def ap(rec: np.ndarray, prec: np.ndarray) -> float:
-    """All-point interpolated AP (VOC-2010 style: area under the
-    monotone-decreasing precision envelope; ref waymo_eval.py:223-247)."""
+def ap(rec: np.ndarray, prec: np.ndarray, use_07_metric: bool = False) -> float:
+    """Interpolated AP.  Default: all-point (VOC-2010 style: area under the
+    monotone-decreasing precision envelope; ref waymo_eval.py:223-247).
+    use_07_metric: VOC-2007 11-point sampling (ref voc_eval.py:38-69) —
+    used by the legacy pascal_voc evaluation for years < 2010."""
+    if use_07_metric:
+        total = 0.0
+        for t in np.arange(0.0, 1.1, 0.1):
+            p = np.max(prec[rec >= t]) if np.any(rec >= t) else 0.0
+            total += p / 11.0
+        return float(total)
     mrec = np.concatenate(([0.0], rec, [1.0]))
     mpre = np.concatenate(([0.0], prec, [0.0]))
     for i in range(len(mpre) - 2, -1, -1):

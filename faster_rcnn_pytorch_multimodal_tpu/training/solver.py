@@ -70,6 +70,25 @@ def make_train_step(model: FasterRCNN, optimizer: optax.GradientTransformation):
     return train_step
 
 
+def make_val_detect_step(model: FasterRCNN):
+    """Jitted full inference pass for the val cycle (drawing + RPN recall),
+    ref train_val.py:402-445: run_eval -> filter_and_draw_prep -> draw."""
+
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import cast_for_compute
+
+    @jax.jit
+    def detect(params, data, window, rng):
+        return model.apply(
+            cast_for_compute(params, model.cfg),
+            data,
+            window,
+            method=FasterRCNN.forward_test,
+            rngs={"dropout": rng},
+        )
+
+    return detect
+
+
 def make_eval_step(model: FasterRCNN):
     """Validation losses on a held-out batch (no update) — the solver's
     periodic val cycle (ref train_val.py:402-445 run_eval path)."""
@@ -245,6 +264,93 @@ class Solver:
         self.train_loader.load_state_dict(restored["sampler"])
         return restored["state"]
 
+    # -- val cycle detection drawing / RPN recall ---------------------------
+
+    def _val_detections(
+        self, val_detect, state: TrainState, val_batch, step: int, max_draw: int = 4
+    ) -> Dict[str, float]:
+        """Run full inference on the val batch: draw detections (full-net
+        mode, ref train_val.py:440-441) or log proposal recall (RPN-only
+        mode, ref train_val.py:424-435).  Returns scalars for the val
+        metrics writer."""
+        import jax.numpy as jnp  # noqa: F811 (local for clarity)
+
+        from faster_rcnn_pytorch_multimodal_tpu.evaluation.drawing import (
+            draw_frame_detections,
+            proposal_recall,
+        )
+        from faster_rcnn_pytorch_multimodal_tpu.ops.filter import (
+            filter_detections,
+            to_per_class_lists,
+        )
+
+        cfg = self.cfg
+        out = val_detect(
+            state.params,
+            val_batch["data"],
+            val_batch["window"],
+            jax.random.PRNGKey(self.seed),
+        )
+        scalars: Dict[str, float] = {}
+
+        if not cfg.enable_full_net:
+            gt = np.asarray(val_batch["gt_boxes"])
+            if cfg.net_type == "lidar":
+                from faster_rcnn_pytorch_multimodal_tpu.ops.iou import (
+                    bbox_3d_to_bev_aabb,
+                )
+
+                gt = np.asarray(bbox_3d_to_bev_aabb(jnp.asarray(gt[..., :7])))
+            covered, total = proposal_recall(
+                np.asarray(out["rois"]),
+                np.asarray(out["roi_valid"]),
+                gt,
+                np.asarray(val_batch["gt_mask"]),
+            )
+            recall = covered / max(total, 1)
+            print(f"val rpn recall@0.5: {recall:.4f} ({covered}/{total})")
+            scalars["rpn_recall"] = recall
+            return scalars
+
+        classes = getattr(
+            self.val_loader.dataset, "classes", None
+        ) or [f"cls_{j}" for j in range(self.model.num_classes)]
+        num_classes = len(classes)
+        draw_dir = os.path.join(self.output_dir, "val_draws", f"iter_{step}")
+        b = int(np.asarray(val_batch["data"]).shape[0])
+        for i in range(min(b, max_draw)):
+            filt = filter_detections(
+                out["cls_prob"][i],
+                out["bbox_pred"][i],
+                out["roi_valid"][i],
+                num_classes=num_classes,
+                bbox_elem=cfg.num_bbox_elem,
+                max_dets=cfg.test.max_dets,
+                thresh=0.5,
+                nms_thresh=cfg.test.nms_thresh,
+                is_lidar=cfg.net_type == "lidar",
+            )
+            uc = {
+                k: np.asarray(v[i])
+                for k, v in out.get("uncertainties", {}).items()
+            }
+            boxes_j, uc_j = to_per_class_lists(
+                filt, uc, num_classes, cfg.num_bbox_elem
+            )
+            gt_i = np.asarray(val_batch["gt_boxes"][i])[
+                np.asarray(val_batch["gt_mask"][i], bool)
+            ]
+            draw_frame_detections(
+                cfg,
+                np.asarray(val_batch["data"][i]),
+                boxes_j,
+                classes,
+                os.path.join(draw_dir, f"det_{i:03d}.png"),
+                gt_boxes=gt_i,
+                uc_j=uc_j,
+            )
+        return scalars
+
     # -- main loop ----------------------------------------------------------
 
     def train(self, max_iters: int, log_every: Optional[int] = None) -> Dict[str, Any]:
@@ -275,6 +381,15 @@ class Solver:
             )
         train_step = make_train_step(self.model, optimizer)
         eval_step = make_eval_step(self.model) if self.val_loader else None
+        # full val inference every cycle: detection drawing when the full
+        # net trains, proposal-recall logging in RPN-only mode
+        # (ref train_val.py:402-445, :424-435)
+        val_detect = (
+            make_val_detect_step(self.model)
+            if self.val_loader
+            and (cfg.train.draw_val_detections or not cfg.enable_full_net)
+            else None
+        )
 
         # replicate params over the mesh; batches shard on the leading dim
         state = jax.device_put(state, replicated(self.mesh))
@@ -307,9 +422,12 @@ class Solver:
             if eval_step is not None and (it + 1) % log_every == 0:
                 val_batch = shard_batch(self.val_loader.next(), self.mesh, cfg)
                 val_losses = eval_step(state.params, val_batch, rng)
-                self.metrics_val.scalars(
-                    it + 1, {k: float(v) for k, v in val_losses.items()}
-                )
+                scalars = {k: float(v) for k, v in val_losses.items()}
+                if val_detect is not None:
+                    scalars.update(
+                        self._val_detections(val_detect, state, val_batch, it + 1)
+                    )
+                self.metrics_val.scalars(it + 1, scalars)
             if (it + 1) % cfg.train.snapshot_iters == 0 or it + 1 == max_iters:
                 self.snapshot(state, it + 1)
             if killer.kill_now:

@@ -42,11 +42,22 @@ struct XorShift128 {
   }
   // uniform in [0, 1)
   double uniform() { return (next() >> 11) * (1.0 / 9007199254740992.0); }
-  // standard normal (Box-Muller)
+  // standard normal (Box-Muller, both outputs of the pair used: one
+  // log/sqrt/sincos amortizes over two samples)
+  double spare = 0.0;
+  bool has_spare = false;
   double normal() {
+    if (has_spare) {
+      has_spare = false;
+      return spare;
+    }
     double u1 = uniform(), u2 = uniform();
     if (u1 < 1e-300) u1 = 1e-300;
-    return std::sqrt(-2.0 * std::log(u1)) * std::cos(2.0 * M_PI * u2);
+    const double r = std::sqrt(-2.0 * std::log(u1));
+    const double a = 2.0 * M_PI * u2;
+    spare = r * std::sin(a);
+    has_spare = true;
+    return r * std::cos(a);
   }
 };
 

@@ -317,38 +317,26 @@ def _rasterize_points(cfg, points):
 
 def _draw_frame(cfg, db, idx, boxes_j, uc_j, num_classes, out_dir):
     """uc_sort_type-colored validation drawing (ref db.draw_and_save_eval,
-    waymo_lidb.py:229-328)."""
+    waymo_lidb.py:229-328) via the shared canvas helper."""
     import numpy as np
 
-    from faster_rcnn_pytorch_multimodal_tpu.utils import visualization as viz
+    from faster_rcnn_pytorch_multimodal_tpu.evaluation.drawing import (
+        draw_frame_detections,
+    )
 
     frame = db.frame(idx, augment=False)
-    sort_key = cfg.uc.sort_type
-    if cfg.net_type == "lidar":
-        dets = [boxes_j[j] for j in range(1, num_classes) if len(boxes_j[j])]
-        bev = frame.get("data")
-        if bev is None and "points" in frame:
-            bev = _rasterize_points(cfg, frame["points"])
-        canvas = viz.draw_detections_bev(
-            np.asarray(bev),
-            np.vstack(dets) if dets else np.zeros((0, 8)),
-            gt7=frame.get("gt_boxes"),
-            sort_key=sort_key,
-        )
-    else:
-        disp = frame["data"] * np.asarray(cfg.pixel_stddevs) + np.asarray(
-            cfg.pixel_means
-        )
-        canvas = disp[:, :, ::-1]
-        gt = frame.get("gt_boxes")
-        if gt is not None and len(gt):
-            canvas = viz.draw_bounding_boxes(canvas, gt, classes=db.classes)
-        for j in range(1, num_classes):
-            if len(boxes_j[j]):
-                canvas = viz.draw_detections_image(
-                    canvas, boxes_j[j], class_name=db.classes[j], sort_key=sort_key
-                )
-    viz.save_image(canvas, os.path.join(out_dir, f"det_{idx:06d}.png"))
+    data = frame.get("data")
+    if cfg.net_type == "lidar" and data is None and "points" in frame:
+        data = _rasterize_points(cfg, frame["points"])
+    draw_frame_detections(
+        cfg,
+        np.asarray(data),
+        boxes_j,
+        db.classes,
+        os.path.join(out_dir, f"det_{idx:06d}.png"),
+        gt_boxes=frame.get("gt_boxes"),
+        uc_j=uc_j,
+    )
 
 
 def args_to_train_ns(args):
