@@ -95,18 +95,92 @@ def bev_config():
     )
 
 
+def _test_throughput(cfg, ds_kwargs):
+    """Inference frames/sec (forward_test incl. the vmapped MC-dropout
+    sampling when epistemic UC is on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from faster_rcnn_pytorch_multimodal_tpu.data import BatchLoader, SyntheticDataset
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import FasterRCNN
+
+    ds = SyntheticDataset(cfg, num_frames=16, **ds_kwargs)
+    loader = BatchLoader(ds, cfg, batch_size=BATCH, seed=0, augment=False)
+    model = FasterRCNN(cfg=cfg, num_classes=2)
+    rng = jax.random.PRNGKey(0)
+    sample = loader.peek()
+    params = jax.jit(model.init)(
+        {"params": rng, "dropout": rng},
+        jnp.asarray(sample["data"][:1]),
+        jnp.asarray(sample["window"][:1]),
+    )
+    fwd = jax.jit(
+        lambda p, d, w, key: model.apply(
+            p, d, w, method=FasterRCNN.forward_test, rngs={"dropout": key}
+        )["cls_prob"]
+    )
+    batch = loader.next()
+    data, window = jnp.asarray(batch["data"]), jnp.asarray(batch["window"])
+    for _ in range(WARMUP):
+        out = fwd(params, data, window, rng)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(ITERS):
+        out = fwd(params, data, window, rng)
+    jax.block_until_ready(out)
+    return BATCH * ITERS / (time.time() - t0)
+
+
+def uncertainty_config():
+    """Full aleatoric+epistemic image config (ref README uncertainty modes;
+    the vmapped MC-dropout tail replaces set_e_num_sample loops)."""
+    from faster_rcnn_pytorch_multimodal_tpu.config import cfg_from_list
+
+    return cfg_from_list(
+        image_config(),
+        (
+            "UC.EN_BBOX_ALEATORIC", "True",
+            "UC.EN_CLS_ALEATORIC", "True",
+            "UC.EN_BBOX_EPISTEMIC", "True",
+            "UC.EN_CLS_EPISTEMIC", "True",
+        ),
+    )
+
+
+def fpn_config():
+    from faster_rcnn_pytorch_multimodal_tpu.config import cfg_from_list
+
+    return cfg_from_list(
+        image_config(), ("USE_FPN", "True", "POOLING_MODE", "multiscale")
+    )
+
+
 def main():
     which = os.environ.get("BENCH_CONFIG", "both")
     results = {}
-    if which in ("image", "both"):
+    extras = {}
+    if which in ("image", "both", "all"):
         results["image_fps"] = round(
             _throughput(image_config(), dict(num_classes=2, image_hw=(512, 960))), 2
         )
-    if which in ("bev", "both"):
+    if which in ("bev", "both", "all"):
         results["bev_fps"] = round(
             _throughput(bev_config(), dict(num_classes=2)), 2
         )
-    value = round(sum(results.values()) / len(results), 2)
+    if which in ("uc", "all"):
+        ucfg = uncertainty_config()
+        extras["uc_train_fps"] = round(
+            _throughput(ucfg, dict(num_classes=2, image_hw=(512, 960))), 2
+        )
+        extras["uc_test_fps"] = round(
+            _test_throughput(ucfg, dict(num_classes=2, image_hw=(512, 960))), 2
+        )
+    if which in ("fpn", "all"):
+        extras["fpn_fps"] = round(
+            _throughput(fpn_config(), dict(num_classes=2, image_hw=(512, 960))), 2
+        )
+    pool = results or extras
+    value = round(sum(pool.values()) / max(len(pool), 1), 2)
     out = {
         "metric": "train frames/sec/chip (res101 image 512x960 + BEV 400x350, b8)",
         "value": value,
@@ -114,6 +188,7 @@ def main():
         "vs_baseline": round(value / REFERENCE_FPS, 2),
     }
     out.update(results)
+    out.update(extras)
     print(json.dumps(out))
 
 

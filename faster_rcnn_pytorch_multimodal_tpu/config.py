@@ -64,6 +64,10 @@ class UCConfig:
         return self.en_bbox_epistemic or self.en_cls_epistemic
 
     @property
+    def rpn_epistemic(self) -> bool:
+        return self.en_rpn_bbox_epistemic or self.en_rpn_cls_epistemic
+
+    @property
     def any_aleatoric(self) -> bool:
         return self.en_bbox_aleatoric or self.en_cls_aleatoric
 
@@ -176,6 +180,9 @@ class ResnetConfig:
 
     max_pool: bool = False
     fixed_blocks: int = 1
+    # stage-granular rematerialization (HBM/FLOPs trade; disable when the
+    # batch fits to trade memory back for backward-pass speed)
+    remat: bool = True
 
 
 @dataclass(frozen=True)

@@ -65,8 +65,23 @@ class CadcDB(KittiDB):
     def _load_frame_data(self, entry: Dict) -> np.ndarray:
         if self.cfg.net_type == "lidar":
             pts = np.fromfile(entry["filename"], dtype=np.float32).reshape(-1, 4)
-            # CADC FOV crop via the intrinsic*extrinsic image transform
-            # (ref lib/utils/CADC_utils.py:13-48); calib optional in fixtures
+            # camera-FOV crop via the intrinsic*extrinsic image transform
+            # (ref lib/utils/CADC_utils.py:28-48 project_pts z-filter +
+            # minibatch.py:258-264 FOV gating); calib optional in fixtures
+            calib_file = entry.get("calib_file")
+            if calib_file and os.path.exists(calib_file):
+                from faster_rcnn_pytorch_multimodal_tpu.utils.cadc_utils import (
+                    project_pts,
+                )
+
+                uvz = project_pts(calib_file, pts[:, :3])
+                h, w = self.cfg.limits.cadc_img_size
+                flag = (
+                    (uvz[:, 2] > 0)
+                    & (uvz[:, 0] >= 0) & (uvz[:, 0] < w)
+                    & (uvz[:, 1] >= 0) & (uvz[:, 1] < h)
+                )
+                pts = pts[flag]
             return pts
         import cv2
 

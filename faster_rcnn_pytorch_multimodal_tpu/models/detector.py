@@ -179,8 +179,10 @@ def propose_one(
     use_nms=False this is the NMS-free top-N alternative, TEST.MODE='top',
     ref proposal_top_layer.py:18-59).
 
-    Returns (rois (P,4), scores (P,), anchors_3d (P,7), valid (P,)) with
-    P = post_nms_top_n, padded lanes flagged invalid.
+    Returns (rois (P,4), scores (P,), anchors_3d (P,7), valid (P,),
+    src_idx (P,)) with P = post_nms_top_n, padded lanes flagged invalid;
+    src_idx is each proposal's anchor lane (for gathering per-anchor
+    RPN-stage uncertainty tensors through the same keep path).
     """
     boxes = bbox_transform_inv(anchors_bev, deltas)
     boxes = clip_boxes(boxes, window)
@@ -188,7 +190,7 @@ def propose_one(
         k = min(post_nms_top_n, fg_scores.shape[0])
         top_scores, order = jax.lax.top_k(fg_scores, k)
         valid = jnp.ones((k,), bool)
-        return boxes[order], top_scores, anchors_3d[order], valid
+        return boxes[order], top_scores, anchors_3d[order], valid, order
     k = min(pre_nms_top_n, fg_scores.shape[0])
     top_scores, order = jax.lax.top_k(fg_scores, k)
     top_boxes = boxes[order]
@@ -199,12 +201,22 @@ def propose_one(
         jnp.where(keep_valid, top_scores[keep], 0.0),
         top_a3d[keep],
         keep_valid,
+        order[keep],
     )
 
 
 def _mc_roi_head(mdl: "FasterRCNN", feats, rois):
     """MC-dropout sample body for nn.vmap (module passed as first arg)."""
     return mdl.roi_head(feats, rois, deterministic=False)
+
+
+def _mc_rpn_scores(mdl: "FasterRCNN", images):
+    """RPN-stage MC-dropout sample body: full backbone + RPN head with live
+    dropout (the reference ran the whole net T times; here only the RPN
+    outputs are kept per sample — features for the det stage are recomputed
+    deterministically once)."""
+    feats = mdl.features(images, deterministic=False)
+    return mdl.rpn_scores(feats["rpn"])
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +233,9 @@ class FasterRCNN(nn.Module):
     def setup(self):
         c = self.cfg
         uc = c.uc
-        dropout_en = uc.any_epistemic
+        # backbone/tail dropout is the MC-sampling source for BOTH the
+        # det-stage and the RPN-stage epistemic paths
+        dropout_en = uc.any_epistemic or uc.rpn_epistemic
         resnet_drop = 0.5 if dropout_en else 0.0
         # ref imagenet.py:52-63: epistemic shrinks the det head to fc7/4
         self.fc7_channels = 2048
@@ -266,6 +280,7 @@ class FasterRCNN(nn.Module):
                 dropout_en=dropout_en,
                 drop_rate=resnet_drop,
                 zero_init_residual=zir,
+                remat=c.resnet.remat,
             )
             self.fpn = FPN(planes=256)
             self.tail = FCTail(self.fc7_channels)
@@ -277,6 +292,7 @@ class FasterRCNN(nn.Module):
                 dropout_en=dropout_en,
                 drop_rate=resnet_drop,
                 zero_init_residual=zir,
+                remat=c.resnet.remat,
             )
             self.tail = ResNetLayer4(
                 num_layers,
@@ -288,6 +304,13 @@ class FasterRCNN(nn.Module):
         if uc.en_rpn_bbox_aleatoric:
             self.rpn_bbox_al_var_net = nn.Conv(
                 c.num_anchors * 4, (1, 1),
+                kernel_init=nn.initializers.normal(0.001),
+            )
+        if uc.en_rpn_cls_aleatoric:
+            # per-anchor 2-class logit log-variance (RPN twin of
+            # cls_al_var_net, SURVEY §2.1 UC flag surface)
+            self.rpn_cls_al_var_net = nn.Conv(
+                c.num_anchors * 2, (1, 1),
                 kernel_init=nn.initializers.normal(0.001),
             )
         self.predictors = DetectionPredictors(
@@ -331,6 +354,10 @@ class FasterRCNN(nn.Module):
         if self.cfg.uc.en_rpn_bbox_aleatoric:
             var = self.rpn_bbox_al_var_net(rpn_feat)
             out["bbox_al_var"] = var.reshape(b, h * w * a, 4).astype(jnp.float32)
+        if self.cfg.uc.en_rpn_cls_aleatoric:
+            cvar = self.rpn_cls_al_var_net(rpn_feat)
+            cvar = cvar.reshape(b, h, w, 2, a).astype(jnp.float32)
+            out["cls_al_var"] = jnp.moveaxis(cvar, 3, 4).reshape(b, h * w * a, 2)
         return out
 
     # -- roi head ---------------------------------------------------------
@@ -487,7 +514,7 @@ class FasterRCNN(nn.Module):
         )
 
         # --- proposals ---
-        rois, roi_scores, roi_a3d, roi_valid = self._propose_batch(
+        rois, roi_scores, roi_a3d, roi_valid, _roi_src = self._propose_batch(
             rpn_out, window, "train"
         )
         if c.train.use_gt:
@@ -562,12 +589,37 @@ class FasterRCNN(nn.Module):
         # smooth-L1 with inside/outside weights) ---
         labels = at.labels  # (B, N)
         lbl_w = (labels >= 0).astype(jnp.float32)
-        rpn_logits = rpn_out["logits"].reshape(-1, 2)
-        losses["rpn_cross_entropy"] = cross_entropy(
-            rpn_logits,
-            jnp.clip(labels, 0).astype(jnp.int32).reshape(-1),
-            weights=lbl_w.reshape(-1),
-        )
+        if c.uc.en_rpn_cls_aleatoric:
+            # Bayesian CE over the sampled anchor batch: logit distortion
+            # over all ~768k lanes x 200 draws would be prohibitive, so
+            # gather the <= rpn_batchsize sampled lanes first (top_k on the
+            # sample mask; surplus lanes carry weight 0)
+            kk = min(c.train.rpn_batchsize, labels.shape[1])
+            _, sel = jax.lax.top_k(lbl_w, kk)  # (B, kk)
+            sel_logits = jnp.take_along_axis(
+                rpn_out["logits"], sel[:, :, None], axis=1
+            )
+            sel_var = jnp.exp(
+                jnp.take_along_axis(rpn_out["cls_al_var"], sel[:, :, None], axis=1)
+            )
+            sel_labels = jnp.take_along_axis(labels, sel, axis=1)
+            sel_w = (sel_labels >= 0).astype(jnp.float32).reshape(-1)
+            ce_s, _mi = bayesian_cross_entropy(
+                sel_logits.reshape(-1, 2),
+                sel_var.reshape(-1, 2),
+                jnp.clip(sel_labels, 0).astype(jnp.int32).reshape(-1),
+                c.uc.a_num_ce_sample,
+                jax.random.fold_in(rng_cls, 3),
+                weights=sel_w,
+            )
+            losses["rpn_cross_entropy"] = ce_s
+        else:
+            rpn_logits = rpn_out["logits"].reshape(-1, 2)
+            losses["rpn_cross_entropy"] = cross_entropy(
+                rpn_logits,
+                jnp.clip(labels, 0).astype(jnp.int32).reshape(-1),
+                weights=lbl_w.reshape(-1),
+            )
         losses["rpn_loss_box"] = smooth_l1_loss(
             rpn_out["deltas"],
             at.bbox_targets,
@@ -622,6 +674,62 @@ class FasterRCNN(nn.Module):
         )
         return losses
 
+    def _rpn_uncertainties(
+        self,
+        rpn_out: Dict[str, jnp.ndarray],
+        rpn_samples: Optional[Dict[str, jnp.ndarray]],
+        rois: jnp.ndarray,
+        roi_src: jnp.ndarray,
+    ) -> Dict[str, jnp.ndarray]:
+        """RPN-stage uncertainty outputs gathered at the selected proposals
+        (per-anchor tensors -> (B, P, ·) via each proposal's anchor lane).
+        Mirrors the det-stage 8-key math at the RPN (SURVEY §2.1 RPN UC
+        flags; consumers were in the reference's missing network.py)."""
+        uc = self.cfg.uc
+        un: Dict[str, jnp.ndarray] = {}
+        if not (uc.rpn_epistemic or uc.en_rpn_cls_aleatoric or uc.en_rpn_bbox_aleatoric):
+            return un
+
+        def sel(x):  # (B, N, ...) -> (B, P, ...)
+            idx = roi_src
+            while idx.ndim < x.ndim:
+                idx = idx[..., None]
+            return jnp.take_along_axis(x, idx, axis=1)
+
+        b, p = roi_src.shape
+        if uc.en_rpn_cls_aleatoric:
+            logits = sel(rpn_out["logits"])  # (B, P, 2)
+            cls_var = jnp.exp(sel(rpn_out["cls_al_var"]))
+            noise = jax.random.normal(
+                jax.random.PRNGKey(0), (uc.a_num_ce_sample,) + logits.shape
+            )
+            samples = logits[None] + noise * jnp.sqrt(cls_var)[None]
+            sm = jax.nn.softmax(samples, axis=-1)
+            un["a_entropy"] = categorical_entropy(jnp.mean(sm, axis=0))
+            flat = samples.reshape(uc.a_num_ce_sample, b * p, 2)
+            un["a_mutual_info"] = categorical_mutual_information(flat).reshape(b, p)
+            un["a_cls_var"] = cls_var
+        if uc.en_rpn_bbox_aleatoric:
+            a_var = jnp.exp(sel(rpn_out["bbox_al_var"]))  # (B, P, 4)
+            un["a_bbox_var"] = jax.vmap(uncertainty_transform_inv)(
+                rois, jnp.sqrt(a_var)
+            )
+        if rpn_samples is not None:
+            t = rpn_samples["fg_prob"].shape[0]
+            sel_t = jax.vmap(sel)
+            if uc.en_rpn_cls_epistemic:
+                logits_t = sel_t(rpn_samples["logits"])  # (T, B, P, 2)
+                sm = jax.nn.softmax(logits_t, axis=-1)
+                un["e_entropy"] = categorical_entropy(jnp.mean(sm, axis=0))
+                un["e_mutual_info"] = categorical_mutual_information(
+                    logits_t.reshape(t, b * p, 2)
+                ).reshape(b, p)
+                un["e_cls_var"] = compute_bbox_var(sm)
+            if uc.en_rpn_bbox_epistemic:
+                deltas_t = sel_t(rpn_samples["deltas"])  # (T, B, P, 4)
+                un["e_bbox_var"] = compute_bbox_var(deltas_t)
+        return un
+
     def forward_test(
         self,
         images: jnp.ndarray,
@@ -635,12 +743,36 @@ class FasterRCNN(nn.Module):
         uc = c.uc
 
         feats = self.features(images, deterministic=True)
-        rpn_out = self.rpn_scores(feats["rpn"])
+        rpn_samples = None
+        if uc.rpn_epistemic:
+            # RPN-stage MC dropout (SURVEY §2.1 RPN UC flags): T samples of
+            # backbone+RPN with split dropout rngs, vmapped like the det
+            # stage; proposals come from the sample-mean scores/deltas
+            mc_rpn = nn.vmap(
+                _mc_rpn_scores,
+                in_axes=(None,),
+                out_axes=0,
+                axis_size=uc.e_num_sample,
+                variable_axes={"params": None},
+                split_rngs={"dropout": True},
+            )
+            rpn_samples = mc_rpn(self, images)  # dict of (T, B, N, ·)
+            rpn_out = {
+                "fg_prob": jnp.mean(rpn_samples["fg_prob"], axis=0),
+                "deltas": jnp.mean(rpn_samples["deltas"], axis=0),
+                "logits": rpn_samples["logits"][0],
+            }
+            for k in ("bbox_al_var", "cls_al_var"):
+                if k in rpn_samples:
+                    rpn_out[k] = rpn_samples[k][0]
+        else:
+            rpn_out = self.rpn_scores(feats["rpn"])
         rpn_out["anchors"] = self._anchors(feats["rpn"], phase="test")
-        rois, roi_scores, roi_a3d, roi_valid = self._propose_batch(
+        rois, roi_scores, roi_a3d, roi_valid, roi_src = self._propose_batch(
             rpn_out, window, "test"
         )
         b, s = rois.shape[:2]
+        rpn_un = self._rpn_uncertainties(rpn_out, rpn_samples, rois, roi_src)
 
         if not c.enable_full_net:
             return {
@@ -648,6 +780,7 @@ class FasterRCNN(nn.Module):
                 "roi_scores": roi_scores,
                 "roi_valid": roi_valid,
                 "anchors_3d": roi_a3d,
+                "rpn_uncertainties": rpn_un,
             }
 
         t = uc.e_num_sample if uc.any_epistemic else 1
@@ -706,6 +839,7 @@ class FasterRCNN(nn.Module):
             "cls_prob": cls_prob,
             "bbox_pred": pred_boxes,
             "uncertainties": {},
+            "rpn_uncertainties": rpn_un,
         }
 
         un: Dict[str, jnp.ndarray] = {}

@@ -251,6 +251,7 @@ class ResNetC4(nn.Module):
     drop_rate: float = 0.0
     batchnorm_en: bool = True
     zero_init_residual: bool = False
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -263,12 +264,13 @@ class ResNetC4(nn.Module):
             batchnorm_en=self.batchnorm_en,
             zero_init_residual=self.zero_init_residual,
         )
+        stage = RematResStage if self.remat else ResStage
         x = ResNetStem(name="stem")(x)
-        x = RematResStage(64, blocks[0], 1, name="layer1", **kw)(x, deterministic)
-        x = RematResStage(128, blocks[1], 2, caffe_stride=True, name="layer2", **kw)(
+        x = stage(64, blocks[0], 1, name="layer1", **kw)(x, deterministic)
+        x = stage(128, blocks[1], 2, caffe_stride=True, name="layer2", **kw)(
             x, deterministic
         )
-        x = RematResStage(256, blocks[2], 2, caffe_stride=True, name="layer3", **kw)(
+        x = stage(256, blocks[2], 2, caffe_stride=True, name="layer3", **kw)(
             x, deterministic
         )
         return x
@@ -308,6 +310,7 @@ class ResNetPyramid(nn.Module):
     drop_rate: float = 0.0
     batchnorm_en: bool = True
     zero_init_residual: bool = False
+    remat: bool = True
 
     @nn.compact
     def __call__(
@@ -322,13 +325,14 @@ class ResNetPyramid(nn.Module):
             batchnorm_en=self.batchnorm_en,
             zero_init_residual=self.zero_init_residual,
         )
+        stage = RematResStage if self.remat else ResStage
         x = ResNetStem(name="stem")(x)
-        c2 = RematResStage(64, blocks[0], 1, name="layer1", **kw)(x, deterministic)
-        c3 = RematResStage(128, blocks[1], 2, caffe_stride=True, name="layer2", **kw)(
+        c2 = stage(64, blocks[0], 1, name="layer1", **kw)(x, deterministic)
+        c3 = stage(128, blocks[1], 2, caffe_stride=True, name="layer2", **kw)(
             c2, deterministic
         )
-        c4 = RematResStage(256, blocks[2], 2, caffe_stride=True, name="layer3", **kw)(
+        c4 = stage(256, blocks[2], 2, caffe_stride=True, name="layer3", **kw)(
             c3, deterministic
         )
-        c5 = RematResStage(512, blocks[3], 2, name="layer4", **kw)(c4, deterministic)
+        c5 = stage(512, blocks[3], 2, name="layer4", **kw)(c4, deterministic)
         return c2, c3, c4, c5

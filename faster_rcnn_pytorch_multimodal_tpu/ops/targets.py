@@ -146,8 +146,16 @@ def anchor_target(
     labels = jnp.where(bg & (bg_key > kth_bg), -1.0, labels)
 
     # regression targets against each anchor's best GT (weights zero them
-    # out everywhere labels != 1, so computing on all lanes is free)
-    matched_gt = gt_boxes[argmax_overlaps, :4]
+    # out everywhere labels != 1, so computing on all lanes is free).
+    # one-hot matmul instead of gt_boxes[argmax_overlaps]: a row gather of
+    # N=768k (FPN stride 4) indices costs ~50ms/column on v5e (latency-bound
+    # scalar loads), while (N, G) @ (G, 4) is trivial MXU work; HIGHEST
+    # precision keeps it bit-exact (products are 0 or the f32 value)
+    matched_gt = jax.lax.dot(
+        jax.nn.one_hot(argmax_overlaps, gt_boxes.shape[0], dtype=jnp.float32),
+        gt_boxes[:, :4],
+        precision=jax.lax.Precision.HIGHEST,
+    )
     bbox_targets = bbox_transform(anchors, matched_gt)
     bbox_targets = jnp.where(any_gt, bbox_targets, jnp.zeros_like(bbox_targets))
 

@@ -264,6 +264,27 @@ class Solver:
         self.train_loader.load_state_dict(restored["sampler"])
         return restored["state"]
 
+    # -- DEBUG draw switches (ref config.py:19-31, SURVEY §4) ----------------
+
+    def _debug_draws(self, state: TrainState, batch):
+        from faster_rcnn_pytorch_multimodal_tpu.utils import debug_draw as dd
+
+        cfg = self.cfg
+        out_dir = os.path.join(self.output_dir, "debug_draws")
+        host = {k: np.asarray(v) for k, v in batch.items()}
+        if cfg.debug.draw_anchors:
+            print("DEBUG.DRAW_ANCHORS ->", dd.draw_anchors(cfg, host, out_dir))
+        if cfg.debug.draw_anchor_t:
+            print(
+                "DEBUG.DRAW_ANCHOR_T ->",
+                dd.draw_anchor_targets(cfg, host, out_dir),
+            )
+        if cfg.debug.draw_proposal_t:
+            print(
+                "DEBUG.DRAW_PROPOSAL_T ->",
+                dd.draw_proposal_targets(cfg, self.model, state.params, host, out_dir),
+            )
+
     # -- val cycle detection drawing / RPN recall ---------------------------
 
     def _val_detections(
@@ -400,6 +421,12 @@ class Solver:
         frames = 0
         for it in range(start, max_iters):
             batch = shard_batch(self.train_loader.next(), self.mesh, cfg)
+            if it == start and (
+                cfg.debug.draw_anchors
+                or cfg.debug.draw_anchor_t
+                or cfg.debug.draw_proposal_t
+            ):
+                self._debug_draws(state, batch)
             state, losses = train_step(state, batch, rng)
             frames += int(batch["data"].shape[0])
             if (it + 1) % log_every == 0 or it + 1 == max_iters:

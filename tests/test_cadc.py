@@ -67,6 +67,32 @@ def test_cadc_snow_filtering(tmp_path):
     assert f["gt_boxes"].shape == (1, 8)
 
 
+def test_cadc_fov_crop_applied(tmp_path):
+    """Points behind the camera (x < 0 in velo frame) must be dropped by the
+    FOV crop (ref CADC_utils.py:28-48 z-filter)."""
+    root = _make_cadc_tree(str(tmp_path), snow_levels=("none",))
+    base = os.path.join(root, "cadc", "training")
+    idx = "000000"
+    pts = np.array(
+        [
+            [20.0, 0.0, 0.0, 0.5],   # in front of the camera
+            [-20.0, 0.0, 0.0, 0.5],  # behind -> must be cropped
+            [20.0, 1.0, -0.5, 0.2],
+        ],
+        np.float32,
+    )
+    pts.tofile(os.path.join(base, "velodyne", idx + ".bin"))
+    cfg = cfg_from_list(
+        default_config(),
+        ("NET_TYPE", "lidar", "DATA_DIR", str(root),
+         "CACHE_DIR", os.path.join(str(root), "cache_fov")),
+    )
+    db = get_db("cadc", cfg, "train")
+    raw = db._load_frame_data(db.roidb[0])
+    assert len(raw) == 2
+    assert np.all(raw[:, 0] > 0)
+
+
 def test_cadc_converter_label_roundtrip(tmp_path):
     """cadc_unpack writes a KITTI line whose velo-frame reconstruction via
     camera_box_to_velo recovers the original cuboid."""
