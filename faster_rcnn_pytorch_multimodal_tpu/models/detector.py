@@ -205,18 +205,27 @@ def propose_one(
     )
 
 
-def _mc_roi_head(mdl: "FasterRCNN", feats, rois):
-    """MC-dropout sample body for nn.vmap (module passed as first arg)."""
-    return mdl.roi_head(feats, rois, deterministic=False)
+def _mc_roi_head_scan(mdl: "FasterRCNN", carry, _x):
+    """MC-dropout sample body for nn.scan (module passed as first arg).
+
+    scan, not vmap, over the sample axis: both keep ONE traced tail (the
+    point of replacing the reference's set_e_num_sample python loop,
+    ref test.py:73-77), but vmap materializes all T samples' tail
+    activations at once — T=10 x (B*S, 7, 7, 2048) overflows a v5e's
+    16 GB HBM at detection sizes.  scan's peak memory is one sample; the
+    stacked outputs (T, B, S, ·) are small."""
+    feats, rois = carry
+    out = mdl.roi_head(feats, rois, deterministic=False)
+    return carry, out
 
 
-def _mc_rpn_scores(mdl: "FasterRCNN", images):
-    """RPN-stage MC-dropout sample body: full backbone + RPN head with live
-    dropout (the reference ran the whole net T times; here only the RPN
-    outputs are kept per sample — features for the det stage are recomputed
-    deterministically once)."""
+def _mc_rpn_scores_scan(mdl: "FasterRCNN", images, _x):
+    """RPN-stage MC-dropout sample body for nn.scan: full backbone + RPN
+    head with live dropout (the reference ran the whole net T times; here
+    only the RPN outputs are kept per sample — features for the det stage
+    are recomputed deterministically once)."""
     feats = mdl.features(images, deterministic=False)
-    return mdl.rpn_scores(feats["rpn"])
+    return images, mdl.rpn_scores(feats["rpn"])
 
 
 # ---------------------------------------------------------------------------
@@ -748,15 +757,13 @@ class FasterRCNN(nn.Module):
             # RPN-stage MC dropout (SURVEY §2.1 RPN UC flags): T samples of
             # backbone+RPN with split dropout rngs, vmapped like the det
             # stage; proposals come from the sample-mean scores/deltas
-            mc_rpn = nn.vmap(
-                _mc_rpn_scores,
-                in_axes=(None,),
-                out_axes=0,
-                axis_size=uc.e_num_sample,
-                variable_axes={"params": None},
+            mc_rpn = nn.scan(
+                _mc_rpn_scores_scan,
+                variable_broadcast="params",
                 split_rngs={"dropout": True},
+                length=uc.e_num_sample,
             )
-            rpn_samples = mc_rpn(self, images)  # dict of (T, B, N, ·)
+            _, rpn_samples = mc_rpn(self, images, None)  # dict of (T, B, N, ·)
             rpn_out = {
                 "fg_prob": jnp.mean(rpn_samples["fg_prob"], axis=0),
                 "deltas": jnp.mean(rpn_samples["deltas"], axis=0),
@@ -785,19 +792,18 @@ class FasterRCNN(nn.Module):
 
         t = uc.e_num_sample if uc.any_epistemic else 1
         if uc.any_epistemic:
-            # MC dropout as a VMAPPED sample axis (SURVEY §2.17 plan):
-            # params broadcast, dropout rng splits per sample — one traced
-            # tail instead of T unrolled copies (replaces the reference's
-            # set_e_num_sample python loop, ref test.py:73-77)
-            mc_head = nn.vmap(
-                _mc_roi_head,
-                in_axes=(None, None),
-                out_axes=0,
-                axis_size=t,
-                variable_axes={"params": None},
+            # MC dropout as a SCANNED sample axis: params broadcast, dropout
+            # rng splits per sample — one traced tail instead of T unrolled
+            # copies (replaces the reference's set_e_num_sample python loop,
+            # ref test.py:73-77), with one sample's peak memory (see
+            # _mc_roi_head_scan)
+            mc_head = nn.scan(
+                _mc_roi_head_scan,
+                variable_broadcast="params",
                 split_rngs={"dropout": True},
+                length=t,
             )
-            det = mc_head(self, feats, rois)  # dict of (T, B, S, ·)
+            _, det = mc_head(self, (feats, rois), None)  # dict of (T, B, S, ·)
         else:
             det = jax.tree.map(
                 lambda x: x[None], self.roi_head(feats, rois, deterministic=True)

@@ -80,9 +80,27 @@ def roi_align(
     wy = _hat_weights(gy, h).astype(features.dtype)  # (R, P*SR, H)
     wx = _hat_weights(gx, w).astype(features.dtype)  # (R, P*SR, W)
 
-    # (R, S, H) x (H, W, C) -> (R, S, W, C); then contract W
-    tmp = jnp.einsum("rsh,hwc->rswc", wy, features, preferred_element_type=features.dtype)
-    out = jnp.einsum("rxw,rywc->ryxc", wx, tmp, preferred_element_type=features.dtype)
+    # Contraction order matters for HBM traffic, not FLOPs: the first
+    # einsum materializes an (R, S, dim, C) intermediate carrying whichever
+    # spatial dim was NOT contracted (~hundreds of MB per frame at
+    # detection sizes).  Contract the LARGER dim first so the intermediate
+    # carries the smaller one (1.9x less traffic at 128x240 maps).
+    if w >= h:
+        # contract W: (R, S, W) x (H, W, C) -> (R, S, H, C); then contract H
+        tmp = jnp.einsum(
+            "rxw,hwc->rxhc", wx, features, preferred_element_type=features.dtype
+        )
+        out = jnp.einsum(
+            "ryh,rxhc->ryxc", wy, tmp, preferred_element_type=features.dtype
+        )
+    else:
+        # contract H: (R, S, H) x (H, W, C) -> (R, S, W, C); then contract W
+        tmp = jnp.einsum(
+            "rsh,hwc->rswc", wy, features, preferred_element_type=features.dtype
+        )
+        out = jnp.einsum(
+            "rxw,rywc->ryxc", wx, tmp, preferred_element_type=features.dtype
+        )
     out = out.reshape(r, p, sr, p, sr, c).mean(axis=(2, 4))
     return out
 
