@@ -69,8 +69,8 @@ from faster_rcnn_pytorch_multimodal_tpu.ops.losses import (
 )
 from faster_rcnn_pytorch_multimodal_tpu.ops.nms import nms
 from faster_rcnn_pytorch_multimodal_tpu.ops.roi_align import (
-    multiscale_roi_align,
-    roi_align,
+    multiscale_roi_align_batched,
+    roi_align_batched,
 )
 from faster_rcnn_pytorch_multimodal_tpu.ops.targets import (
     anchor_target,
@@ -384,17 +384,13 @@ class FasterRCNN(nn.Module):
         if c.use_fpn and c.pooling_mode == "multiscale":
             pyramid = feats["pyramid"]
             strides = (4, 8, 16, 32)
-            pooled = jax.vmap(
-                lambda p2, p3, p4, p5, r: multiscale_roi_align(
-                    (p2, p3, p4, p5), r, strides, output_size=p
-                )
-            )(*pyramid, rois)
+            pooled = multiscale_roi_align_batched(
+                pyramid, rois, strides, output_size=p
+            )
         else:
             feat = feats["rpn"]
             scale = 1.0 / feat_stride(c)
-            pooled = jax.vmap(
-                lambda f, r: roi_align(f, r, scale, output_size=p)
-            )(feat, rois)
+            pooled = roi_align_batched(feat, rois, scale, output_size=p)
 
         b, s = rois.shape[0], rois.shape[1]
         if c.use_fpn:

@@ -105,6 +105,48 @@ def roi_align(
     return out
 
 
+def roi_align_batched(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    spatial_scale: float,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    aligned: bool = False,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Batched RoI align: features (B, H, W, C), rois (B, R, 4) ->
+    (B, R, P, P, C).
+
+    Dispatches to the Pallas kernel on real TPUs (the einsum intermediate
+    never leaves VMEM there) and to the vmapped einsum path elsewhere.
+    rois are stop-gradiented on both paths: torchvision's roi_align
+    backward ignores the rois (ref lib/utils/torchpoolers.py pools through
+    torchvision.ops.roi_align), so box gradients must not leak into the
+    RPN through the pooling coordinates.
+    """
+    rois = jax.lax.stop_gradient(rois)
+    if use_pallas is None:
+        from faster_rcnn_pytorch_multimodal_tpu.ops.roi_align_pallas import (
+            pallas_available,
+        )
+
+        use_pallas = pallas_available()
+    if use_pallas:
+        from faster_rcnn_pytorch_multimodal_tpu.ops.roi_align_pallas import (
+            roi_align_batched_pallas,
+        )
+
+        return roi_align_batched_pallas(
+            features, rois, spatial_scale, output_size, sampling_ratio, aligned
+        )
+    return jax.vmap(
+        lambda f, r: roi_align(
+            f, r, spatial_scale, output_size=output_size,
+            sampling_ratio=sampling_ratio, aligned=aligned,
+        )
+    )(features, rois)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -156,5 +198,44 @@ def multiscale_roi_align(
             sampling_ratio=sampling_ratio,
         )
         sel = (lvl == i).astype(pooled.dtype)[:, None, None, None]
+        out = pooled * sel if out is None else out + pooled * sel
+    return out
+
+
+def multiscale_roi_align_batched(
+    feature_maps: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    strides: tuple,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    canonical_scale: int = 224,
+    canonical_level: int = 4,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Batched FPN multiscale RoI align: feature_maps (B, Hi, Wi, C) finest
+    first, rois (B, R, 4) -> (B, R, P, P, C).  Same LevelMapper rule and
+    pool-all-levels-mask-select as the per-frame variant, but each level's
+    pool goes through roi_align_batched (Pallas on TPU)."""
+    num_levels = len(feature_maps)
+    areas = jnp.maximum(
+        (rois[..., 2] - rois[..., 0]) * (rois[..., 3] - rois[..., 1]), 1e-6
+    )
+    lvl = jnp.floor(
+        canonical_level + jnp.log2(jnp.sqrt(areas) / canonical_scale + 1e-6)
+    )
+    lvl0 = canonical_level - (num_levels - 2)
+    lvl = jnp.clip(lvl, lvl0, lvl0 + num_levels - 1) - lvl0  # (B, R)
+
+    out = None
+    for i, fm in enumerate(feature_maps):
+        pooled = roi_align_batched(
+            fm,
+            rois,
+            1.0 / float(strides[i]),
+            output_size=output_size,
+            sampling_ratio=sampling_ratio,
+            use_pallas=use_pallas,
+        )
+        sel = (lvl == i).astype(pooled.dtype)[:, :, None, None, None]
         out = pooled * sel if out is None else out + pooled * sel
     return out

@@ -81,6 +81,84 @@ def resnet_key_to_flax(key: str, use_fpn: bool) -> Tuple[str, ...] | None:
     return scope + (mod, _BN_LEAF[leaf])
 
 
+# torchvision vgg16 features indices of the 13 convs, in order
+_VGG_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def vgg16_key_to_flax(key: str) -> Tuple[str, ...] | None:
+    """torchvision vgg16 state-dict key -> our param path.
+
+    features.<i> convs map to VGG16Head early_conv0..3 / late_conv4..12
+    (ref lib/nets/vgg16.py:41-43 freezes the first 10 layers = conv1_1..
+    conv2_2); classifier.0/.3 are fc6/fc7 in VGG16Tail.  classifier.6 (the
+    1000-way imagenet head) is dropped like the reference does."""
+    m = re.match(r"^features\.(\d+)\.(weight|bias)$", key)
+    if m:
+        idx, leaf = int(m.group(1)), m.group(2)
+        if idx not in _VGG_CONV_IDX:
+            return None
+        conv_i = _VGG_CONV_IDX.index(idx)
+        scope = "early" if conv_i < 4 else "late"
+        return (
+            "backbone",
+            f"{scope}_conv{conv_i}",
+            "kernel" if leaf == "weight" else "bias",
+        )
+    m = re.match(r"^classifier\.(0|3)\.(weight|bias)$", key)
+    if m:
+        fc = "fc6" if m.group(1) == "0" else "fc7"
+        leaf = "kernel" if m.group(2) == "weight" else "bias"
+        return ("tail", fc, leaf)
+    return None
+
+
+def convert_vgg16_tensor(key: str, value) -> np.ndarray:
+    """VGG16-aware tensor conversion: classifier.0 (fc6) flattens torch's
+    (C=512, 7, 7) CHW RoI layout while our tail flattens HWC — the kernel
+    rows must be permuted accordingly, not just transposed."""
+    v = _t(value)
+    if key == "classifier.0.weight":
+        # (4096, 512*7*7) CHW-rows -> (7*7*512, 4096) HWC-rows
+        return np.transpose(v.reshape(4096, 512, 7, 7), (2, 3, 1, 0)).reshape(
+            7 * 7 * 512, 4096
+        )
+    return convert_tensor(key, v)
+
+
+def load_vgg16_state_dict(
+    params: Dict, state_dict: Dict, verbose: bool = False
+) -> Tuple[Dict, int]:
+    """Copy a torchvision vgg16 state_dict into our param tree."""
+    import copy
+
+    out = copy.deepcopy(params)
+    root = out["params"] if "params" in out else out
+    n = 0
+    for key, value in state_dict.items():
+        path = vgg16_key_to_flax(key)
+        if path is None:
+            continue
+        node = root
+        ok = True
+        for p in path[:-1]:
+            if p not in node:
+                ok = False
+                break
+            node = node[p]
+        if not ok or path[-1] not in node:
+            if verbose:
+                print(f"skip {key} -> {'/'.join(path)} (absent)")
+            continue
+        v = convert_vgg16_tensor(key, value)
+        if tuple(node[path[-1]].shape) != tuple(v.shape):
+            if verbose:
+                print(f"skip {key}: shape {v.shape} vs {node[path[-1]].shape}")
+            continue
+        node[path[-1]] = v.astype(np.float32)
+        n += 1
+    return out, n
+
+
 def load_resnet_state_dict(
     params: Dict, state_dict: Dict, use_fpn: bool = False, verbose: bool = False
 ) -> Tuple[Dict, int]:

@@ -64,6 +64,29 @@ def test_sampler_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(loader2._perm, loader._perm)
 
 
+def test_resume_batch_determinism(tmp_path):
+    """Train 2N batches vs train N + resume N: the post-resume batch stream
+    (shuffle AND augmentation randomness) must be identical (ref
+    train_val.py:100-140 restores the numpy RNG state on resume)."""
+    cfg = cfg_from_list(default_config(), _TINY)
+    ds = SyntheticDataset(cfg, num_frames=6, num_classes=2, image_hw=(64, 96))
+
+    straight = BatchLoader(ds, cfg, batch_size=2, seed=5, augment=True)
+    batches_a = [straight.next() for _ in range(6)]
+
+    first = BatchLoader(ds, cfg, batch_size=2, seed=5, augment=True)
+    for _ in range(3):
+        first.next()
+    saved = first.state_dict()
+    resumed = BatchLoader(ds, cfg, batch_size=2, seed=999, augment=True)
+    resumed.load_state_dict(saved)
+    batches_b = [resumed.next() for _ in range(3)]
+
+    for a, b in zip(batches_a[3:], batches_b):
+        np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
+        np.testing.assert_array_equal(a["data"], b["data"])
+
+
 def test_metrics_writer(tmp_path):
     w = MetricsWriter(str(tmp_path / "tb"))
     w.scalars(1, {"loss": 1.5})

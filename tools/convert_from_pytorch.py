@@ -53,9 +53,16 @@ def main(argv=None):
     sd = torch.load(args.torch_ckpt, map_location="cpu")
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-    new_params, n = load_resnet_state_dict(
-        params, sd, use_fpn=bool(args.en_fpn), verbose=args.verbose
-    )
+    if args.net == "vgg16":
+        from faster_rcnn_pytorch_multimodal_tpu.utils.convert import (
+            load_vgg16_state_dict,
+        )
+
+        new_params, n = load_vgg16_state_dict(params, sd, verbose=args.verbose)
+    else:
+        new_params, n = load_resnet_state_dict(
+            params, sd, use_fpn=bool(args.en_fpn), verbose=args.verbose
+        )
     print(f"loaded {n} tensors from {args.torch_ckpt}")
 
     import orbax.checkpoint as ocp
