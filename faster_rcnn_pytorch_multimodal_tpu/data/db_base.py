@@ -264,9 +264,10 @@ class DetectionDB:
             boxes = boxes * scale
             boxes_dc = boxes_dc * scale
 
-        img = (img - np.asarray(cfg.pixel_means, np.float32)) / np.asarray(
-            cfg.pixel_stddevs, np.float32
-        )
+        # ship RAW uint8: normalization runs on device (detector.features)
+        # — a 4x smaller host->device transfer per batch, and faithful to
+        # the reference whose imgaug pipeline operates on uint8 frames
+        img = np.clip(img, 0, 255).astype(np.uint8)
         h, w = img.shape[:2]
         gt = np.hstack([boxes, classes[:, None]]).astype(np.float32)
         return {

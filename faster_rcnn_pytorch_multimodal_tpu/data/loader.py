@@ -250,7 +250,9 @@ class BatchLoader:
 
             h = _bucket(max(f["data"].shape[0] for f in frames))
             w = _bucket(max(f["data"].shape[1] for f in frames))
-            data = np.zeros((b, h, w, frames[0]["data"].shape[2]), np.float32)
+            data = np.zeros(
+                (b, h, w, frames[0]["data"].shape[2]), frames[0]["data"].dtype
+            )
             for i, f in enumerate(frames):
                 fh, fw = f["data"].shape[:2]
                 data[i, :fh, :fw] = f["data"]

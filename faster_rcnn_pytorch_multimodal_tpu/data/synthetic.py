@@ -88,9 +88,7 @@ class SyntheticDataset:
             gt[:, 0] = w - 1 - gt[:, 2]
             gt[:, 2] = w - 1 - x1
         # mean/std normalize like prep_im_for_blob (ref blob.py:32-54)
-        img = (img - np.asarray(self.cfg.pixel_means, np.float32)) / np.asarray(
-            self.cfg.pixel_stddevs, np.float32
-        )
+        img = np.clip(img, 0, 255).astype(np.uint8)  # raw; device normalizes
         return {
             "data": img,
             "gt_boxes": gt,

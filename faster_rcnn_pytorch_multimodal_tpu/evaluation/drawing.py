@@ -34,6 +34,7 @@ def draw_frame_detections(
       network frame space (scaled pixels / voxel grid).
     gt_boxes: (G, 5|8) network-space GT rows (last column = class).
     """
+    raw_uint8 = np.asarray(data).dtype == np.uint8
     data = np.asarray(data, np.float32)
     sort_key = cfg.uc.sort_type
     num_classes = len(classes)
@@ -46,7 +47,11 @@ def draw_frame_detections(
             sort_key=sort_key,
         )
     else:
-        disp = data * np.asarray(cfg.pixel_stddevs) + np.asarray(cfg.pixel_means)
+        disp = (
+            data
+            if raw_uint8
+            else data * np.asarray(cfg.pixel_stddevs) + np.asarray(cfg.pixel_means)
+        )
         canvas = disp[:, :, ::-1]  # BGR blob -> RGB canvas
         if gt_boxes is not None and len(gt_boxes):
             canvas = viz.draw_bounding_boxes(canvas, gt_boxes, classes=classes)

@@ -270,6 +270,16 @@ def _infer_uc_keys(n_trail: int, widths: dict) -> tuple:
     )
 
 
+def get_labels_filename(db, eval_type: str) -> str:
+    """The ground-truth labels file for an eval type (ref waymo_eval.py:87):
+    '2d' reads the image labels, everything else the lidar labels."""
+    import os
+
+    base = getattr(db, "_devkit_path", getattr(db.cfg, "data_dir", "."))
+    name = "image_labels.json" if eval_type == "2d" else "lidar_labels.json"
+    return os.path.join(base, db.mode, "labels", name)
+
+
 def find_rec(class_recs, token):
     """Frame record lookup by frame token (ref waymo_eval.py:141)."""
     if isinstance(class_recs, dict):

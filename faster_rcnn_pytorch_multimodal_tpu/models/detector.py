@@ -336,6 +336,13 @@ class FasterRCNN(nn.Module):
     # -- feature extraction -------------------------------------------------
 
     def features(self, images: jnp.ndarray, deterministic: bool = True):
+        if jnp.issubdtype(images.dtype, jnp.integer):
+            # loaders ship raw uint8 frames (4x smaller transfers); the
+            # mean/std normalization runs here on device.  Float inputs are
+            # treated as pre-normalized (direct callers, lidar rasters).
+            means = jnp.asarray(self.cfg.pixel_means, jnp.float32)
+            stds = jnp.asarray(self.cfg.pixel_stddevs, jnp.float32)
+            images = (images.astype(jnp.float32) - means) / stds
         if self.cfg.compute_dtype == "bfloat16":
             images = images.astype(jnp.bfloat16)
         if self.cfg.use_fpn:

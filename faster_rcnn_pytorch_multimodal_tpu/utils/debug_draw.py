@@ -20,6 +20,8 @@ from faster_rcnn_pytorch_multimodal_tpu.utils import visualization as viz
 def _canvas(cfg, frame: np.ndarray) -> np.ndarray:
     if cfg.net_type == "lidar":
         return viz.bev_to_rgb(frame).astype(np.float32)
+    if frame.dtype == np.uint8:  # loaders ship raw frames
+        return frame.astype(np.float32)[:, :, ::-1]
     disp = frame * np.asarray(cfg.pixel_stddevs) + np.asarray(cfg.pixel_means)
     return disp[:, :, ::-1]
 

@@ -177,9 +177,12 @@ def main(argv=None):
                 else np.zeros((0, bbox_elem + 1), np.float32)
             )
             if len(rows):
-                if is_lidar:
+                # self-contained datasets (synthetic) have no meters/raw
+                # frame space: GT is collected in network space above, so
+                # detections stay there too
+                if is_lidar and hasattr(db, "boxes_voxel_grid_to_pc"):
                     rows[:, :7] = db.boxes_voxel_grid_to_pc(rows[:, :7], scale)
-                else:
+                elif not is_lidar and hasattr(db, "roidb"):
                     rows[:, :4] /= scale
             all_boxes[j][i] = rows
 

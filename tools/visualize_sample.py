@@ -71,7 +71,12 @@ def main(argv=None):
             )
         canvas = viz.draw_detections_bev(bev, np.zeros((0, 8)), gt7=frame["gt_boxes"])
     else:
-        disp = frame["data"] * np.asarray(cfg.pixel_stddevs) + np.asarray(cfg.pixel_means)
+        d = np.asarray(frame["data"])
+        disp = (
+            d.astype(np.float32)
+            if d.dtype == np.uint8
+            else d * np.asarray(cfg.pixel_stddevs) + np.asarray(cfg.pixel_means)
+        )
         canvas = viz.draw_bounding_boxes(disp[:, :, ::-1], frame["gt_boxes"], db.classes)
     viz.save_image(canvas, args.out)
     print(f"wrote {args.out} ({len(frame['gt_boxes'])} GT boxes)")
