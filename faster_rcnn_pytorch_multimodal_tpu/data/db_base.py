@@ -101,13 +101,20 @@ class DetectionDB:
 
     # -- loader protocol --------------------------------------------------
 
-    def frame(self, index: int, augment: bool = False) -> Dict[str, np.ndarray]:
+    def frame(
+        self, index: int, augment: bool = False, rng=None
+    ) -> Dict[str, np.ndarray]:
+        """rng: optional per-call RandomState.  The BatchLoader passes one
+        seeded from ITS (checkpointed) RNG so the augmentation stream is
+        resume-deterministic and frames can be assembled in parallel;
+        direct callers fall back to the dataset RNG."""
         entry = self.roidb[index]
+        rng = self._rng if rng is None else rng
         if self.cfg.net_type == "lidar":
-            return self._lidar_frame(entry, augment)
-        return self._image_frame(entry, augment)
+            return self._lidar_frame(entry, augment, rng)
+        return self._image_frame(entry, augment, rng)
 
-    def _lidar_frame(self, entry: Dict, augment: bool) -> Dict[str, np.ndarray]:
+    def _lidar_frame(self, entry: Dict, augment: bool, rng) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         points = self._load_frame_data(entry)  # (P, >=4) meters
         if points.shape[1] == 4:  # pad elongation channel (non-Waymo)
@@ -130,7 +137,7 @@ class DetectionDB:
                 [ignore, np.zeros(len(boxes_dc), bool)]
             )
             points, stacked, stacked_ig = aug.augment_lidar_frame(
-                points, stacked, stacked_ig, cfg, self._rng
+                points, stacked, stacked_ig, cfg, rng
             )
             boxes, boxes_dc = stacked[:n_gt], stacked[n_gt:]
             ignore = stacked_ig[:n_gt]
@@ -145,11 +152,11 @@ class DetectionDB:
                     points,
                     float(cfg.test.rain_rate),
                     float(self._lidar_max_range()),
-                    int(self._rng.randint(1 << 31)),
+                    int(rng.randint(1 << 31)),
                 )
             if cfg.test.dropout_en:
                 points = pc_ops.pc_dropout(
-                    points, 0.8, int(self._rng.randint(1 << 31))
+                    points, 0.8, int(rng.randint(1 << 31))
                 )
 
         keep = ~ignore[: len(boxes)]
@@ -217,7 +224,7 @@ class DetectionDB:
             out[:, 4] = boxes[:, 4] * voxel_len
         return out
 
-    def _image_frame(self, entry: Dict, augment: bool) -> Dict[str, np.ndarray]:
+    def _image_frame(self, entry: Dict, augment: bool, rng) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         img = self._load_frame_data(entry).astype(np.float32)  # (H, W, 3) BGR
         boxes = entry["boxes"].astype(np.float32).copy()  # (G, 4) x1y1x2y2
@@ -231,11 +238,11 @@ class DetectionDB:
         )
 
         if augment:
-            if cfg.train.use_flipped and self._rng.rand() < 0.5:
+            if cfg.train.use_flipped and rng.rand() < 0.5:
                 img, boxes = aug.flip_image_boxes(img, boxes)
                 boxes_dc = aug.flip_boxes_h(boxes_dc, img.shape[1])
             img, boxes, boxes_dc = aug.image_augment_pipeline(
-                img, boxes, boxes_dc, self._rng
+                img, boxes, boxes_dc, rng
             )
             # post-augmentation re-clip + ignore rules (ref minibatch.py:
             # 614-646): affines can push boxes out of frame
@@ -247,7 +254,7 @@ class DetectionDB:
             boxes_dc = boxes_dc[~dc_ig]
         elif self.mode in ("test", "val") and cfg.test.augment_en:
             # test-time weather corruption (ref minibatch.py:648-664)
-            img = aug.weather_corrupt(img, self._rng)
+            img = aug.weather_corrupt(img, rng)
 
         keep = ~ignore
         boxes, classes = boxes[keep], classes[keep]

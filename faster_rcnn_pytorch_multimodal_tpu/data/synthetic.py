@@ -57,7 +57,11 @@ class SyntheticDataset:
     def __len__(self) -> int:
         return self.num_frames
 
-    def frame(self, index: int, augment: bool = False) -> Dict[str, np.ndarray]:
+    def frame(
+        self, index: int, augment: bool = False, rng=None
+    ) -> Dict[str, np.ndarray]:
+        # rng accepted for loader-protocol compatibility; synthetic frames
+        # are a pure function of (seed, index) so it is unused
         if self.cfg.net_type == "lidar":
             return self._lidar_frame(index, augment)
         return self._image_frame(index, augment)
