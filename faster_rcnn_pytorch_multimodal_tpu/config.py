@@ -58,6 +58,11 @@ class UCConfig:
     a_num_bbox_sample: int = 200
     e_num_sample: int = 10
     sort_type: str = ""
+    # Bayesian CE formulation for aleatoric classification: 'full' (avg
+    # softmax over distorted logits, ref loss_utils.py:149-169), 'simple'
+    # (CE averaged over samples, :171-184), 'elu' (ELU-regularized
+    # difference, :187-209)
+    bayes_variant: str = "full"
 
     @property
     def any_epistemic(self) -> bool:

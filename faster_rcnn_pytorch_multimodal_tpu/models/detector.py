@@ -61,6 +61,8 @@ from faster_rcnn_pytorch_multimodal_tpu.ops.box_transform import (
 from faster_rcnn_pytorch_multimodal_tpu.ops.iou import bbox_3d_to_bev_aabb
 from faster_rcnn_pytorch_multimodal_tpu.ops.losses import (
     bayesian_cross_entropy,
+    bayesian_cross_entropy_simple,
+    bayesian_elu_cross_entropy,
     categorical_entropy,
     categorical_mutual_information,
     compute_bbox_var,
@@ -652,7 +654,14 @@ class FasterRCNN(nn.Module):
             det_labels = pt.labels.reshape(-1)
             if c.uc.en_cls_aleatoric:
                 cls_var = jnp.exp(det["cls_al_var"].reshape(b * s, -1))
-                ce, a_mi = bayesian_cross_entropy(
+                # UC.BAYES_VARIANT selects among the reference's three
+                # Bayesian CE formulations (ref loss_utils.py:149-209)
+                bayes_fn = {
+                    "full": bayesian_cross_entropy,
+                    "simple": bayesian_cross_entropy_simple,
+                    "elu": bayesian_elu_cross_entropy,
+                }[c.uc.bayes_variant]
+                ce, a_mi = bayes_fn(
                     cls_score,
                     cls_var,
                     det_labels,
