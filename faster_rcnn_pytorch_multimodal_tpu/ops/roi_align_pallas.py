@@ -39,12 +39,11 @@ from faster_rcnn_pytorch_multimodal_tpu.ops.roi_align import (
     _sample_coords,
 )
 
-C_BLK = 128
-# RoIs per grid cell: large enough that each cell's MXU dot amortizes the
-# per-cell grid overhead (R_BLK=8 left the kernel launch-bound: 2048 cells
-# at C4 sizes), small enough that the f32 dot-1 result + bf16 intermediate
-# fit the 128 MB v5e VMEM alongside the XLA windows (R_BLK=64 overflowed
-# by 4 MB at C4 sizes)
+# Block sizes trade per-cell grid overhead (dominant when cells are small:
+# R_BLK=8/C_BLK=128 left the kernel launch-bound at 2048 cells for C4)
+# against VMEM (the f32 dot-1 result + bf16 intermediate must fit 128 MB
+# alongside the XLA windows: R_BLK=64/C_BLK=128 overflowed by 4 MB)
+C_BLK = 256
 R_BLK = 32
 
 
@@ -283,11 +282,13 @@ def pallas_available() -> bool:
     """Whether to dispatch RoI align to this kernel by default.
 
     Measured on v5e (b8 res101, post contraction-order fix in the einsum
-    path): the einsum formulation wins end-to-end — C4 image train 50.1
-    f/s (einsum) vs 37.1 (pallas R_BLK=32); the kernel's small-K dots
-    (K = H = 32 at C4) under-utilize the MXU and larger roi blocks
-    overflow the 128 MB VMEM at FPN-p2 shapes.  The kernel is therefore
-    OPT-IN (FRCNN_PALLAS_ROI_ALIGN=1) until its tiling beats XLA; it is
+    path): the einsum formulation wins end-to-end — C4 image train 52.4
+    f/s (einsum) vs 37.1 (pallas R_BLK=32/C_BLK=128) vs 38.0 (R_BLK=32/
+    C_BLK=256).  Doubling the cell size bought <1 f/s, so the gap is
+    structural, not launch overhead: the M=14 batched second dot
+    under-utilizes the MXU and the f32 dot-1 result materializes in VMEM
+    before the bf16 cast.  The kernel is therefore OPT-IN
+    (FRCNN_PALLAS_ROI_ALIGN=1) until its tiling beats XLA; it is
     numerically validated against the einsum path in
     tests/test_roi_align_pallas.py either way."""
     import os
