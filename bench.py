@@ -4,8 +4,11 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
 
 `value` is the mean of the image-config and BEV-config train throughputs
-(the driver metric is "frames/sec/chip (res101 image+BEV)"); the per-config
-numbers ride along in "image_fps"/"bev_fps".
+(the driver metric is "frames/sec/chip (res101 image+BEV)"); the other
+BASELINE.json configs (FPN-multiscale, uncertainty train/MC-test, BEV+UC)
+ride along as extra keys.  ALL configs run by default so the driver-run
+JSON captures the full surface; set BENCH_CONFIG=image/bev/fpn/uc/both to
+run a subset.
 
 Baseline note: the reference publishes no throughput numbers (BASELINE.md).
 `REFERENCE_FPS` is a documented estimate of its single-GPU TRAINING
@@ -155,8 +158,22 @@ def fpn_config():
     )
 
 
+def bev_uncertainty_config():
+    from faster_rcnn_pytorch_multimodal_tpu.config import cfg_from_list
+
+    return cfg_from_list(
+        bev_config(),
+        (
+            "UC.EN_BBOX_ALEATORIC", "True",
+            "UC.EN_CLS_ALEATORIC", "True",
+            "UC.EN_BBOX_EPISTEMIC", "True",
+            "UC.EN_CLS_EPISTEMIC", "True",
+        ),
+    )
+
+
 def main():
-    which = os.environ.get("BENCH_CONFIG", "both")
+    which = os.environ.get("BENCH_CONFIG", "all")
     results = {}
     extras = {}
     if which in ("image", "both", "all"):
@@ -167,6 +184,10 @@ def main():
         results["bev_fps"] = round(
             _throughput(bev_config(), dict(num_classes=2)), 2
         )
+    if which in ("fpn", "all"):
+        extras["fpn_fps"] = round(
+            _throughput(fpn_config(), dict(num_classes=2, image_hw=(512, 960))), 2
+        )
     if which in ("uc", "all"):
         ucfg = uncertainty_config()
         extras["uc_train_fps"] = round(
@@ -175,9 +196,8 @@ def main():
         extras["uc_test_fps"] = round(
             _test_throughput(ucfg, dict(num_classes=2, image_hw=(512, 960))), 2
         )
-    if which in ("fpn", "all"):
-        extras["fpn_fps"] = round(
-            _throughput(fpn_config(), dict(num_classes=2, image_hw=(512, 960))), 2
+        extras["bev_uc_train_fps"] = round(
+            _throughput(bev_uncertainty_config(), dict(num_classes=2)), 2
         )
     pool = results or extras
     value = round(sum(pool.values()) / max(len(pool), 1), 2)

@@ -89,7 +89,9 @@ class CocoDB(DetectionDB):
                 continue
             boxes.append([x1, y1, x2, y2])
             classes.append(cls)
-        if not boxes:
+        if not boxes and self.mode == "train":
+            # keep empty-GT (incl. crowd-only) frames on val/test: the full
+            # split must be evaluated or AP inflates vs COCOeval
             return None
         return {
             "filename": os.path.join(

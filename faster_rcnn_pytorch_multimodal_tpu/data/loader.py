@@ -288,9 +288,20 @@ class BatchLoader:
 
             h = _bucket(max(f["data"].shape[0] for f in frames))
             w = _bucket(max(f["data"].shape[1] for f in frames))
-            data = np.zeros(
-                (b, h, w, frames[0]["data"].shape[2]), frames[0]["data"].dtype
-            )
+            dtype = frames[0]["data"].dtype
+            nch = frames[0]["data"].shape[2]
+            # pad lanes with the mean pixel, not zeros: uint8 frames
+            # normalize on device, so a zero pad would decode to black
+            # (-mean/std) while the reference's blob padding (zeros AFTER
+            # mean subtraction, ref blob.py:12-27) is exactly the mean
+            # pixel.  Float frames are pre-normalized -> zero pad is mean.
+            if np.issubdtype(dtype, np.integer) and nch == len(cfg.pixel_means):
+                fill = np.asarray(cfg.pixel_means, np.float32)
+                data = np.broadcast_to(
+                    np.clip(np.round(fill), 0, 255).astype(dtype), (b, h, w, nch)
+                ).copy()
+            else:
+                data = np.zeros((b, h, w, nch), dtype)
             for i, f in enumerate(frames):
                 fh, fw = f["data"].shape[:2]
                 data[i, :fh, :fw] = f["data"]

@@ -47,12 +47,16 @@ class PascalVocDB(DetectionDB):
 
     def __init__(self, cfg: Config, mode: str, year: str = "2007",
                  image_set: str = "", use_diff: bool = False):
-        super().__init__(f"voc_{year}", cfg, mode)
-        self._year = year
-        self._use_diff = use_diff
-        self._image_set = image_set or {
+        image_set = image_set or {
             "train": "trainval", "val": "val", "test": "test"
         }.get(mode, mode)
+        # the resolved image_set is part of the db name so distinct splits
+        # get distinct roidb cache files (voc_2007 mode=train resolves to
+        # trainval; without the suffix it would collide with voc_2007_train)
+        super().__init__(f"voc_{year}_{image_set}", cfg, mode)
+        self._year = year
+        self._use_diff = use_diff
+        self._image_set = image_set
         self._devkit_path = os.path.join(cfg.data_dir, f"VOCdevkit{year}")
         self._data_path = os.path.join(self._devkit_path, f"VOC{year}")
         if not os.path.isdir(self._data_path):
@@ -100,7 +104,11 @@ class PascalVocDB(DetectionDB):
                 float(bb.find("ymax").text) - 1.0,
             ])
             classes.append(self._classes.index(name))
-        if not boxes:
+        if not boxes and self.mode == "train":
+            # empty-GT frames are useless for training but must stay in
+            # val/test splits: dropping them would hide frames where the
+            # detector can only produce false positives, inflating AP vs
+            # the reference voc_eval over the full split
             return None
         return {
             "filename": os.path.join(

@@ -117,8 +117,9 @@ def roi_align_batched(
     """Batched RoI align: features (B, H, W, C), rois (B, R, 4) ->
     (B, R, P, P, C).
 
-    Dispatches to the Pallas kernel on real TPUs (the einsum intermediate
-    never leaves VMEM there) and to the vmapped einsum path elsewhere.
+    Uses the vmapped einsum path by default; the Pallas kernel
+    (ops/roi_align_pallas.py) is opt-in via FRCNN_PALLAS_ROI_ALIGN=1 while
+    it measures slower than XLA end-to-end (see pallas_available()).
     rois are stop-gradiented on both paths: torchvision's roi_align
     backward ignores the rois (ref lib/utils/torchpoolers.py pools through
     torchvision.ops.roi_align), so box gradients must not leak into the
