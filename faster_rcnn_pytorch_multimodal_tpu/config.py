@@ -57,6 +57,11 @@ class UCConfig:
     a_num_ce_sample: int = 200
     a_num_bbox_sample: int = 200
     e_num_sample: int = 10
+    # MC samples evaluated per scan step at test time: the scan keeps peak
+    # memory at one step's activations (a pure vmap over all e_num_sample
+    # OOMs at detection sizes), while vmapping a small chunk inside each
+    # step restores most of the lost parallelism.  1 = fully serialized.
+    e_mc_chunk: int = 2
     sort_type: str = ""
     # Bayesian CE formulation for aleatoric classification: 'full' (avg
     # softmax over distorted logits, ref loss_utils.py:149-169), 'simple'

@@ -102,17 +102,21 @@ class DetectionDB:
     # -- loader protocol --------------------------------------------------
 
     def frame(
-        self, index: int, augment: bool = False, rng=None
+        self, index: int, augment: bool = False, rng=None, scale=None
     ) -> Dict[str, np.ndarray]:
         """rng: optional per-call RandomState.  The BatchLoader passes one
         seeded from ITS (checkpointed) RNG so the augmentation stream is
         resume-deterministic and frames can be assembled in parallel;
-        direct callers fall back to the dataset RNG."""
+        direct callers fall back to the dataset RNG.
+
+        scale: optional frame-scale override for random multi-scale
+        training (ref minibatch.py:113-120 samples one of cfg.TRAIN.SCALES
+        per minibatch); None keeps the phase's scales[0]."""
         entry = self.roidb[index]
         rng = self._rng if rng is None else rng
         if self.cfg.net_type == "lidar":
             return self._lidar_frame(entry, augment, rng)
-        return self._image_frame(entry, augment, rng)
+        return self._image_frame(entry, augment, rng, scale)
 
     def _lidar_frame(self, entry: Dict, augment: bool, rng) -> Dict[str, np.ndarray]:
         cfg = self.cfg
@@ -224,7 +228,9 @@ class DetectionDB:
             out[:, 4] = boxes[:, 4] * voxel_len
         return out
 
-    def _image_frame(self, entry: Dict, augment: bool, rng) -> Dict[str, np.ndarray]:
+    def _image_frame(
+        self, entry: Dict, augment: bool, rng, scale=None
+    ) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         img = self._load_frame_data(entry).astype(np.float32)  # (H, W, 3) BGR
         boxes = entry["boxes"].astype(np.float32).copy()  # (G, 4) x1y1x2y2
@@ -259,9 +265,9 @@ class DetectionDB:
         keep = ~ignore
         boxes, classes = boxes[keep], classes[keep]
 
-        scale = float(
-            cfg.train.scales[0] if self.mode == "train" else cfg.test.scales[0]
-        )
+        if scale is None:
+            scale = cfg.train.scales[0] if self.mode == "train" else cfg.test.scales[0]
+        scale = float(scale)
         if scale != 1.0:
             import cv2
 

@@ -149,6 +149,7 @@ class KittiDB(DetectionDB):
         iou_t = 0.7
         results = {}
         for j in range(1, self.num_classes):
+            level_res = []
             for name, keep in (
                 ("easy", lambda d: d <= 0),
                 ("moderate", lambda d: d <= 1),
@@ -161,11 +162,19 @@ class KittiDB(DetectionDB):
                     eval_type=eval_type,
                     difficulty_filter=keep,
                 )
+                level_res.append(res)
                 results[(self.classes[j], name)] = res["ap"]
                 print(
                     f"{self.classes[j]} {name} AP({eval_type}@{iou_t}) = "
                     f"{res['ap']:.4f} (npos={res['npos']})"
                 )
+            if output_dir:
+                # per-class PR artifact (ref waymo_lidb.py:601-602 pattern)
+                from faster_rcnn_pytorch_multimodal_tpu.evaluation.eval_utils import (
+                    write_pr_pickle,
+                )
+
+                write_pr_pickle(output_dir, self.classes[j], level_res)
         return results
 
 

@@ -198,6 +198,22 @@ class BatchLoader:
         stream derives entirely from the checkpointed loader RNG, so a
         resumed run replays it exactly (the dataset-internal RNG is not
         part of the snapshot)."""
+        cfg = self.cfg
+        # random multi-scale: one scale per minibatch drawn from the
+        # checkpointed loader RNG (ref minibatch.py:113-120).  Image nets
+        # only — the BEV raster/anchor grid is built for a single scale
+        # (lidar multi-scale is waived, see COMPONENTS.md).  Drawn BEFORE
+        # the per-frame seeds so the stream stays resume-deterministic.
+        scales = cfg.train.scales
+        if self.augment and cfg.net_type != "lidar" and len(scales) > 1:
+            self._scale_idx = int(self._rng.randint(len(scales)))
+        else:
+            self._scale_idx = 0
+        scale = (
+            float(scales[self._scale_idx])
+            if self.augment and cfg.net_type != "lidar"
+            else None
+        )
         seeds = [int(self._rng.randint(1 << 31)) for _ in indices]
         import os
 
@@ -206,7 +222,8 @@ class BatchLoader:
             # single-core host: the pool only adds contention
             return [
                 self.dataset.frame(
-                    int(i), augment=self.augment, rng=np.random.RandomState(s)
+                    int(i), augment=self.augment,
+                    rng=np.random.RandomState(s), scale=scale,
                 )
                 for i, s in zip(indices, seeds)
             ]
@@ -220,6 +237,7 @@ class BatchLoader:
                     int(iv[0]),
                     augment=self.augment,
                     rng=np.random.RandomState(iv[1]),
+                    scale=scale,
                 ),
                 zip(indices, seeds),
             )
@@ -246,6 +264,10 @@ class BatchLoader:
             "gt_mask": gt_mask,
             "window": window,
         }
+        if self.augment and cfg.net_type != "lidar" and len(cfg.train.scales) > 1:
+            # which TRAIN.SCALES entry this minibatch was resized by; the
+            # detector indexes its per-scale anchor grids with it
+            batch["scale_idx"] = np.int32(self._scale_idx)
 
         # don't-care regions (always 4-col: image x1y1x2y2 / lidar BEV AABB)
         # feed proposal_target's dc suppression when TRAIN.IGNORE_DC

@@ -152,6 +152,12 @@ class PascalVocDB(DetectionDB):
             results[self.classes[j]] = res["ap"]
             aps.append(res["ap"])
             print(f"AP for {self.classes[j]} = {res['ap']:.4f}")
+            if output_dir:
+                from faster_rcnn_pytorch_multimodal_tpu.evaluation.eval_utils import (
+                    write_pr_pickle,
+                )
+
+                write_pr_pickle(output_dir, self.classes[j], [res])
         mean_ap = float(np.mean(aps)) if aps else 0.0
         print(f"Mean AP = {mean_ap:.4f}")
         results["mAP"] = mean_ap

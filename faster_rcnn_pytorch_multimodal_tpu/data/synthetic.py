@@ -58,17 +58,19 @@ class SyntheticDataset:
         return self.num_frames
 
     def frame(
-        self, index: int, augment: bool = False, rng=None
+        self, index: int, augment: bool = False, rng=None, scale=None
     ) -> Dict[str, np.ndarray]:
         # rng accepted for loader-protocol compatibility; synthetic frames
         # are a pure function of (seed, index) so it is unused
         if self.cfg.net_type == "lidar":
             return self._lidar_frame(index, augment)
-        return self._image_frame(index, augment)
+        return self._image_frame(index, augment, scale)
 
     # -- image ---------------------------------------------------------
 
-    def _image_frame(self, index: int, augment: bool) -> Dict[str, np.ndarray]:
+    def _image_frame(
+        self, index: int, augment: bool, scale=None
+    ) -> Dict[str, np.ndarray]:
         rng = np.random.RandomState(self.seed * 100003 + index)
         h, w = self.image_hw
         img = rng.uniform(60, 120, (h, w, 3)).astype(np.float32)
@@ -91,6 +93,16 @@ class SyntheticDataset:
             x1 = gt[:, 0].copy()
             gt[:, 0] = w - 1 - gt[:, 2]
             gt[:, 2] = w - 1 - x1
+        if scale is not None and float(scale) != 1.0:
+            # multi-scale minibatches (loader-sampled TRAIN.SCALES entry)
+            import cv2
+
+            img = cv2.resize(
+                img, None, fx=float(scale), fy=float(scale),
+                interpolation=cv2.INTER_LINEAR,
+            )
+            gt[:, :4] *= float(scale)
+            h, w = img.shape[:2]
         # mean/std normalize like prep_im_for_blob (ref blob.py:32-54)
         img = np.clip(img, 0, 255).astype(np.uint8)  # raw; device normalizes
         return {

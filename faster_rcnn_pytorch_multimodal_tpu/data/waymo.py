@@ -172,6 +172,7 @@ class WaymoDB(DetectionDB):
         iou_t = 0.7 if eval_type in ("bev", "bev_aa") else (0.7 if eval_type == "3d" else 0.5)
         results = {}
         for j in range(1, self.num_classes):
+            level_res = []
             for level, keep in (
                 (1, lambda d: d <= 1),  # L1: easy GT only
                 (2, lambda d: d <= 2),  # L2: all GT
@@ -183,6 +184,7 @@ class WaymoDB(DetectionDB):
                     eval_type=eval_type,
                     difficulty_filter=keep,
                 )
+                level_res.append(res)
                 results[(self.classes[j], f"L{level}")] = res["ap"]
                 print(
                     f"{self.classes[j]} L{level} AP({eval_type}@{iou_t}) = "
@@ -197,6 +199,13 @@ class WaymoDB(DetectionDB):
                     display_frame_counts(
                         res["tp_frame"], res["fp_frame"], res["npos_frame"]
                     )
+            if output_dir:
+                # per-class PR artifact (ref waymo_lidb.py:601-602)
+                from faster_rcnn_pytorch_multimodal_tpu.evaluation.eval_utils import (
+                    write_pr_pickle,
+                )
+
+                write_pr_pickle(output_dir, self.classes[j], level_res)
         return results
 
 

@@ -427,3 +427,23 @@ def evaluate_class(
         "fp_frame": fp_frame,
         "npos_frame": npos_frame,
     }
+
+
+def write_pr_pickle(output_dir: str, cls_name: str, results: list) -> str:
+    """Persist the per-class PR curve after eval: `<cls>_pr.pkl` holding
+    {'rec', 'prec', 'ap'} with one entry per difficulty level, matching the
+    reference's artifact (ref lib/datasets/waymo_lidb.py:601-602) that
+    parity comparison plots consume."""
+    import os
+    import pickle
+
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, f"{cls_name}_pr.pkl")
+    payload = {
+        "rec": [r["recall"] for r in results],
+        "prec": [r["precision"] for r in results],
+        "ap": np.asarray([r["ap"] for r in results]),
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    return path

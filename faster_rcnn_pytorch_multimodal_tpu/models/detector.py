@@ -207,27 +207,68 @@ def propose_one(
     )
 
 
-def _mc_roi_head_scan(mdl: "FasterRCNN", carry, _x):
-    """MC-dropout sample body for nn.scan (module passed as first arg).
+def _mc_roi_head_chunk(mdl: "FasterRCNN", carry, xs):
+    """MC-dropout chunk body for nn.scan (module passed as first arg).
 
-    scan, not vmap, over the sample axis: both keep ONE traced tail (the
-    point of replacing the reference's set_e_num_sample python loop,
-    ref test.py:73-77), but vmap materializes all T samples' tail
-    activations at once — T=10 x (B*S, 7, 7, 2048) overflows a v5e's
-    16 GB HBM at detection sizes.  scan's peak memory is one sample; the
-    stacked outputs (T, B, S, ·) are small."""
+    scan-of-vmapped-chunks over the sample axis: a pure vmap over all T
+    samples materializes every sample's tail activations at once — T=10 x
+    (B*S, 7, 7, 2048) overflows a v5e's 16 GB HBM at detection sizes — and
+    a pure scan (round 2) fully serializes the T samples.  Each scan step
+    vmaps a chunk of cfg.uc.e_mc_chunk samples (distinct dropout rngs from
+    the lifted vmap), bounding peak memory at one CHUNK's activations while
+    recovering chunk-way parallelism.  Replaces the reference's
+    set_e_num_sample python loop (ref test.py:73-77)."""
     feats, rois = carry
-    out = mdl.roi_head(feats, rois, deterministic=False)
+
+    def one(m: "FasterRCNN", _z):
+        return m.roi_head(feats, rois, deterministic=False)
+
+    out = nn.vmap(
+        one,
+        in_axes=0,
+        out_axes=0,
+        variable_axes={"params": None},
+        split_rngs={"dropout": True},
+    )(mdl, xs)
     return carry, out
 
 
-def _mc_rpn_scores_scan(mdl: "FasterRCNN", images, _x):
-    """RPN-stage MC-dropout sample body for nn.scan: full backbone + RPN
+def _mc_rpn_scores_chunk(mdl: "FasterRCNN", images, xs):
+    """RPN-stage MC-dropout chunk body for nn.scan: full backbone + RPN
     head with live dropout (the reference ran the whole net T times; here
     only the RPN outputs are kept per sample — features for the det stage
-    are recomputed deterministically once)."""
-    feats = mdl.features(images, deterministic=False)
-    return images, mdl.rpn_scores(feats["rpn"])
+    are recomputed deterministically once).  Chunked like the det stage."""
+
+    def one(m: "FasterRCNN", _z):
+        feats = m.features(images, deterministic=False)
+        return m.rpn_scores(feats["rpn"])
+
+    out = nn.vmap(
+        one,
+        in_axes=0,
+        out_axes=0,
+        variable_axes={"params": None},
+        split_rngs={"dropout": True},
+    )(mdl, xs)
+    return images, out
+
+
+def _chunked_mc_scan(mdl: "FasterRCNN", body, carry, t: int, chunk: int):
+    """Run `body` (a chunk-shaped nn.scan body) for >= t MC samples as
+    ceil(t/chunk) scan steps of vmap-`chunk`; returns outputs with a
+    leading sample axis cut to exactly t."""
+    chunk = max(1, min(chunk, t))
+    steps = -(-t // chunk)
+    scanned = nn.scan(
+        body,
+        variable_broadcast="params",
+        split_rngs={"dropout": True},
+        length=steps,
+    )
+    _, out = scanned(mdl, carry, jnp.zeros((steps, chunk)))
+    return jax.tree.map(
+        lambda x: x.reshape((steps * chunk,) + x.shape[2:])[:t], out
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -437,13 +478,24 @@ class FasterRCNN(nn.Module):
         det = self.roi_head(feats, dummy_rois, deterministic=True)
         return {"rpn": rpn_out["fg_prob"], **det}
 
-    def _anchors(self, rpn_feat, phase: str = "train"):
+    def _anchors(self, rpn_feat, phase: str = "train", scale_idx=None):
         h, w = rpn_feat.shape[1:3]
         # anchor sizes scale with the frame scale of the active phase
         # (ref snippets.py:22: anchor_scales * frame_scale)
-        scale = float(self.cfg.phase(phase).scales[0])
-        bev, a3d = build_anchor_grid(self.cfg, h, w, scale)
-        return jnp.asarray(bev), jnp.asarray(a3d)
+        scales = self.cfg.phase(phase).scales
+        if scale_idx is None or len(scales) == 1 or self.cfg.net_type == "lidar":
+            bev, a3d = build_anchor_grid(self.cfg, h, w, float(scales[0]))
+            return jnp.asarray(bev), jnp.asarray(a3d)
+        # random multi-scale training (ref minibatch.py:113-120): the grid
+        # for EVERY configured scale is baked at trace time (shapes are
+        # scale-independent) and the minibatch's traced scale_idx selects —
+        # no recompile per sampled scale.  generate_anchors' rounding makes
+        # the grids non-affine in scale, so precompute-and-select, not
+        # center+scale*offset.
+        grids = [build_anchor_grid(self.cfg, h, w, float(s)) for s in scales]
+        bev = jnp.asarray(np.stack([g[0] for g in grids]))[scale_idx]
+        a3d = jnp.asarray(np.stack([g[1] for g in grids]))[scale_idx]
+        return bev, a3d
 
     def _propose_batch(self, rpn_out, window, phase: str):
         c = self.cfg.phase(phase)
@@ -479,10 +531,13 @@ class FasterRCNN(nn.Module):
         rng: jax.Array,
         gt_boxes_dc: Optional[jnp.ndarray] = None,
         dc_mask: Optional[jnp.ndarray] = None,
+        scale_idx: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Full training forward -> loss dict.
 
         gt_boxes: (B, G, 5) for image nets, (B, G, 8) 7-DoF for lidar.
+        scale_idx: optional TRAIN.SCALES index for random multi-scale
+        minibatches (selects the matching precomputed anchor grid).
         """
         c = self.cfg
         b, g = gt_boxes.shape[:2]
@@ -503,7 +558,7 @@ class FasterRCNN(nn.Module):
 
         feats = self.features(images, deterministic=not c.uc.any_epistemic)
         rpn_out = self.rpn_scores(feats["rpn"])
-        rpn_out["anchors"] = self._anchors(feats["rpn"])
+        rpn_out["anchors"] = self._anchors(feats["rpn"], scale_idx=scale_idx)
         anchors_bev, anchors_3d = rpn_out["anchors"]
 
         rng_at, rng_pt, rng_cls = jax.random.split(rng, 3)
@@ -695,6 +750,16 @@ class FasterRCNN(nn.Module):
         )
         return losses
 
+    def _test_rng(self) -> jnp.ndarray:
+        """Fresh noise per forward for test-time aleatoric logit sampling:
+        the reference draws new normals every forward (torch.randn, ref
+        lib/model/test.py sampling); reusing one fixed key would correlate
+        the noise across every frame of every batch.  Falls back to a fixed
+        key only when the caller provides no dropout rng."""
+        if self.has_rng("dropout"):
+            return self.make_rng("dropout")
+        return jax.random.PRNGKey(0)
+
     def _rpn_uncertainties(
         self,
         rpn_out: Dict[str, jnp.ndarray],
@@ -722,7 +787,7 @@ class FasterRCNN(nn.Module):
             logits = sel(rpn_out["logits"])  # (B, P, 2)
             cls_var = jnp.exp(sel(rpn_out["cls_al_var"]))
             noise = jax.random.normal(
-                jax.random.PRNGKey(0), (uc.a_num_ce_sample,) + logits.shape
+                self._test_rng(), (uc.a_num_ce_sample,) + logits.shape
             )
             samples = logits[None] + noise * jnp.sqrt(cls_var)[None]
             sm = jax.nn.softmax(samples, axis=-1)
@@ -767,15 +832,12 @@ class FasterRCNN(nn.Module):
         rpn_samples = None
         if uc.rpn_epistemic:
             # RPN-stage MC dropout (SURVEY §2.1 RPN UC flags): T samples of
-            # backbone+RPN with split dropout rngs, vmapped like the det
-            # stage; proposals come from the sample-mean scores/deltas
-            mc_rpn = nn.scan(
-                _mc_rpn_scores_scan,
-                variable_broadcast="params",
-                split_rngs={"dropout": True},
-                length=uc.e_num_sample,
-            )
-            _, rpn_samples = mc_rpn(self, images, None)  # dict of (T, B, N, ·)
+            # backbone+RPN with split dropout rngs, chunk-scanned like the
+            # det stage; proposals come from the sample-mean scores/deltas
+            rpn_samples = _chunked_mc_scan(
+                self, _mc_rpn_scores_chunk, images, uc.e_num_sample,
+                uc.e_mc_chunk,
+            )  # dict of (T, B, N, ·)
             rpn_out = {
                 "fg_prob": jnp.mean(rpn_samples["fg_prob"], axis=0),
                 "deltas": jnp.mean(rpn_samples["deltas"], axis=0),
@@ -804,18 +866,13 @@ class FasterRCNN(nn.Module):
 
         t = uc.e_num_sample if uc.any_epistemic else 1
         if uc.any_epistemic:
-            # MC dropout as a SCANNED sample axis: params broadcast, dropout
-            # rng splits per sample — one traced tail instead of T unrolled
-            # copies (replaces the reference's set_e_num_sample python loop,
-            # ref test.py:73-77), with one sample's peak memory (see
-            # _mc_roi_head_scan)
-            mc_head = nn.scan(
-                _mc_roi_head_scan,
-                variable_broadcast="params",
-                split_rngs={"dropout": True},
-                length=t,
-            )
-            _, det = mc_head(self, (feats, rois), None)  # dict of (T, B, S, ·)
+            # MC dropout as a chunk-scanned sample axis: params broadcast,
+            # dropout rng splits per sample — one traced tail instead of T
+            # unrolled copies, with one chunk's peak memory (see
+            # _mc_roi_head_chunk)
+            det = _chunked_mc_scan(
+                self, _mc_roi_head_chunk, (feats, rois), t, uc.e_mc_chunk
+            )  # dict of (T, B, S, ·)
         else:
             det = jax.tree.map(
                 lambda x: x[None], self.roi_head(feats, rois, deterministic=True)
@@ -863,7 +920,7 @@ class FasterRCNN(nn.Module):
         un: Dict[str, jnp.ndarray] = {}
         if uc.en_cls_aleatoric:
             cls_var = jnp.exp(det0["cls_al_var"])  # (B,S,K)
-            rng = jax.random.PRNGKey(0)  # test-time sampling is fixed-seed
+            rng = self._test_rng()
             samples = (
                 cls_scores[0][None]
                 + jax.random.normal(

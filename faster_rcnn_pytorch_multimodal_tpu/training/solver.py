@@ -51,6 +51,7 @@ def make_train_step(model: FasterRCNN, optimizer: optax.GradientTransformation):
             rng,
             batch.get("gt_boxes_dc"),
             batch.get("dc_mask"),
+            batch.get("scale_idx"),
             method=FasterRCNN.forward_train,
             rngs={"dropout": jax.random.fold_in(rng, 1)},
         )

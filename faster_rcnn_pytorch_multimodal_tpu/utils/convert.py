@@ -125,17 +125,72 @@ def convert_vgg16_tensor(key: str, value) -> np.ndarray:
     return convert_tensor(key, v)
 
 
-def load_vgg16_state_dict(
-    params: Dict, state_dict: Dict, verbose: bool = False
+def mobilenet_key_to_flax(key: str) -> Tuple[str, ...] | None:
+    """Reference torch mobilenet state-dict key -> our param path.
+
+    The reference builds its net as Sequential end_points named Conv2d_0 /
+    Conv2d_<i>.{depthwise,pointwise} with each a (conv, bn, relu) triple
+    (ref lib/nets/mobilenet_v1.py:106-183; key renames from tf-slim in
+    ref tools/convert_from_tensorflow_mobile.py:30-49).  Layers 0-11 live
+    in our MobileNetV1Head ('backbone'), 12-13 in the tail
+    (ref mobilenet_v1.py:267-270)."""
+    if "num_batches_tracked" in key:
+        return None
+    # full-detector keys carry 'mobilenet.'; pretrained imagenet dumps use
+    # 'features.' (ref mobilenet_v1.py:298-301 load_pretrained_cnn)
+    key = key.replace("mobilenet.", "").replace("features.", "")
+    m = re.match(r"^Conv2d_0\.(0|1)\.(\w+)$", key)
+    if m:
+        sub, leaf = m.groups()
+        if sub == "0":
+            return ("backbone", "conv0", "kernel")
+        return ("backbone", "bn0", _BN_LEAF[leaf])
+    m = re.match(r"^Conv2d_(\d+)\.(depthwise|pointwise)\.(0|1)\.(\w+)$", key)
+    if not m:
+        return None
+    i, which, sub, leaf = int(m.group(1)), m.group(2), m.group(3), m.group(4)
+    root = ("backbone",) if i <= 11 else ("tail",)
+    scope = root + (f"layer{i}",)
+    if sub == "0":
+        return scope + (which, "kernel")
+    return scope + (
+        "dw_bn" if which == "depthwise" else "pw_bn",
+        _BN_LEAF[leaf],
+    )
+
+
+def replicate_conv1_for_lidar(
+    state_dict: Dict, num_slices: int, num_channel: int
+) -> Dict:
+    """Imagenet RGB conv1 -> BEV stem bootstrap (ref lib/nets/lidarnet.py:
+    249-267 load_imagenet_pretrained_cnn): the R-channel kernel is
+    replicated across the num_slices height slices and G/B fill the first
+    two meta channels; any further meta channels start at zero."""
+    out = dict(state_dict)
+    w = _t(state_dict["conv1.weight"])  # (O, 3, kh, kw)
+    new = np.zeros((w.shape[0], num_channel, w.shape[2], w.shape[3]), np.float32)
+    new[:, :num_slices] = np.repeat(w[:, :1], num_slices, axis=1)
+    if num_channel > num_slices:
+        new[:, num_slices] = w[:, 1]
+    if num_channel > num_slices + 1:
+        new[:, num_slices + 1] = w[:, 2]
+    out["conv1.weight"] = new
+    return out
+
+
+def _copy_state_dict(
+    params: Dict, state_dict: Dict, key_fn, tensor_fn, verbose: bool = False
 ) -> Tuple[Dict, int]:
-    """Copy a torchvision vgg16 state_dict into our param tree."""
+    """Copy torch tensors into a deep copy of the param tree; returns
+    (new_params, n_loaded).  Keys with no mapping, absent paths, or shape
+    mismatches are skipped (reported when verbose)."""
     import copy
 
     out = copy.deepcopy(params)
     root = out["params"] if "params" in out else out
     n = 0
     for key, value in state_dict.items():
-        path = vgg16_key_to_flax(key)
+        path = key_fn(key)
         if path is None:
             continue
         node = root
@@ -149,7 +204,7 @@ def load_vgg16_state_dict(
             if verbose:
                 print(f"skip {key} -> {'/'.join(path)} (absent)")
             continue
-        v = convert_vgg16_tensor(key, value)
+        v = tensor_fn(key, value)
         if tuple(node[path[-1]].shape) != tuple(v.shape):
             if verbose:
                 print(f"skip {key}: shape {v.shape} vs {node[path[-1]].shape}")
@@ -157,38 +212,37 @@ def load_vgg16_state_dict(
         node[path[-1]] = v.astype(np.float32)
         n += 1
     return out, n
+
+
+def load_vgg16_state_dict(
+    params: Dict, state_dict: Dict, verbose: bool = False
+) -> Tuple[Dict, int]:
+    """Copy a torchvision vgg16 state_dict into our param tree."""
+    return _copy_state_dict(
+        params, state_dict, vgg16_key_to_flax, convert_vgg16_tensor, verbose
+    )
 
 
 def load_resnet_state_dict(
     params: Dict, state_dict: Dict, use_fpn: bool = False, verbose: bool = False
 ) -> Tuple[Dict, int]:
-    """Copy a torchvision resnet state_dict into our param tree (in-place on
-    a deep copy).  Returns (new_params, n_loaded)."""
-    import copy
+    """Copy a torchvision resnet state_dict into our param tree."""
+    return _copy_state_dict(
+        params,
+        state_dict,
+        lambda k: resnet_key_to_flax(k, use_fpn),
+        convert_tensor,
+        verbose,
+    )
 
-    out = copy.deepcopy(params)
-    root = out["params"] if "params" in out else out
-    n = 0
-    for key, value in state_dict.items():
-        path = resnet_key_to_flax(key, use_fpn)
-        if path is None:
-            continue
-        node = root
-        ok = True
-        for p in path[:-1]:
-            if p not in node:
-                ok = False
-                break
-            node = node[p]
-        if not ok or path[-1] not in node:
-            if verbose:
-                print(f"skip {key} -> {'/'.join(path)} (absent)")
-            continue
-        v = convert_tensor(key, value)
-        if tuple(node[path[-1]].shape) != tuple(v.shape):
-            if verbose:
-                print(f"skip {key}: shape {v.shape} vs {node[path[-1]].shape}")
-            continue
-        node[path[-1]] = v.astype(np.float32)
-        n += 1
-    return out, n
+
+def load_mobilenet_state_dict(
+    params: Dict, state_dict: Dict, verbose: bool = False
+) -> Tuple[Dict, int]:
+    """Copy a reference-layout mobilenet state_dict into our param tree.
+    Depthwise torch kernels are (C, 1, kh, kw); the OIHW->HWIO transpose
+    lands them at (kh, kw, 1, C), exactly flax's feature_group_count=C
+    layout — no special casing needed."""
+    return _copy_state_dict(
+        params, state_dict, mobilenet_key_to_flax, convert_tensor, verbose
+    )

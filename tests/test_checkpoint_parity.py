@@ -156,7 +156,7 @@ def _randomize_bn(model: nn.Module, gen: torch.Generator):
 def _build_torch(depth: int, use_fpn: bool, seed: int = 0) -> TorchResNet:
     torch.manual_seed(seed)
     block = TorchBasicBlock if depth in (18, 34) else TorchBottleneck
-    layers = {18: (2, 2, 2, 2), 50: (3, 4, 6, 3)}[depth]
+    layers = {18: (2, 2, 2, 2), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[depth]
     model = TorchResNet(block, layers, use_fpn=use_fpn)
     _randomize_bn(model, torch.Generator().manual_seed(seed + 1))
     model.eval()
@@ -193,7 +193,7 @@ def _assert_close(torch_out: torch.Tensor, jax_out, name: str, atol=1e-4):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=atol, err_msg=name)
 
 
-@pytest.mark.parametrize("depth", [18, 50])
+@pytest.mark.parametrize("depth", [18, 50, 101])
 def test_c4_forward_parity(depth):
     """stage-wise + end-to-end: torch reference C4 (stem..layer3) ==
     converted flax backbone, layer4 tail included (atol 1e-4 fp32)."""
@@ -348,3 +348,45 @@ def test_diagonal_decode_parity_vs_torch():
     dec = np.asarray(bbox_transform_inv(jnp.asarray(boxes), enc.reshape(16, 4)))
     expected = gt + np.asarray([0.0, 0.0, 1.0, 1.0], np.float32)
     np.testing.assert_allclose(dec, expected, rtol=1e-4, atol=1e-3)
+
+
+def test_lidar_stem_bootstrap_parity():
+    """The BEV stem's imagenet bootstrap (ref lib/nets/lidarnet.py:249-267):
+    the R-channel conv1 kernel replicated over the 12 height slices + G/B
+    on the meta channels must load into the 15-channel flax stem and match
+    a torch stem carrying the same replicated weights."""
+    from faster_rcnn_pytorch_multimodal_tpu.models.resnet import ResNetStem
+    from faster_rcnn_pytorch_multimodal_tpu.utils.convert import (
+        replicate_conv1_for_lidar,
+    )
+
+    torch.manual_seed(3)
+    conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+    bn1 = nn.BatchNorm2d(64)
+    _randomize_bn(nn.Sequential(bn1), torch.Generator().manual_seed(4))
+    sd = {"conv1.weight": conv1.weight, **{
+        f"bn1.{k}": v for k, v in bn1.state_dict().items()
+    }}
+    sd15 = replicate_conv1_for_lidar(sd, num_slices=12, num_channel=15)
+
+    raster = np.random.RandomState(5).uniform(
+        -1, 1, (1, 64, 64, 15)
+    ).astype(np.float32)
+    stem = ResNetStem()
+    v = stem.init(jax.random.PRNGKey(0), jnp.asarray(raster))
+    params = {"params": {"backbone": {"stem": v["params"]}}}
+    loaded, n = load_resnet_state_dict(params, sd15, use_fpn=False)
+    assert n == 5, n  # conv1 kernel + 4 bn leaves
+    j_out = stem.apply(
+        {"params": loaded["params"]["backbone"]["stem"]}, jnp.asarray(raster)
+    )
+
+    tconv = nn.Conv2d(15, 64, 7, stride=2, padding=3, bias=False)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(sd15["conv1.weight"]))
+    tstem = nn.Sequential(
+        tconv, bn1, nn.ReLU(), nn.MaxPool2d(3, stride=2, padding=1)
+    ).eval()
+    with torch.no_grad():
+        t_out = tstem(_nchw(raster))
+    _assert_close(t_out, j_out, "lidar stem bootstrap")

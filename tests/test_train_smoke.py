@@ -132,3 +132,47 @@ def test_image_inference_shapes():
     assert out["rois"].shape == (2, s, 4)
     p = np.asarray(out["cls_prob"])
     np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_multiscale_training():
+    """Random multi-scale minibatches (ref minibatch.py:113-120): the
+    loader samples one TRAIN.SCALES entry per batch, ships scale_idx, and
+    the detector selects the matching precomputed anchor grid — train
+    steps run at both bucketed input shapes."""
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import build_anchor_grid
+
+    cfg = cfg_from_list(_image_cfg(), ("TRAIN.SCALES", "(0.5,1.0)"))
+    ds = SyntheticDataset(cfg, num_frames=8, num_classes=2, image_hw=(128, 192))
+    loader = BatchLoader(ds, cfg, batch_size=2, seed=3)
+    seen, shapes, batches = set(), {}, []
+    for _ in range(8):
+        b = loader.next()
+        assert "scale_idx" in b
+        seen.add(int(b["scale_idx"]))
+        shapes[int(b["scale_idx"])] = b["data"].shape
+        batches.append(b)
+    assert seen == {0, 1}, f"both scales should be sampled, saw {seen}"
+    assert shapes[0][1] < shapes[1][1], "0.5-scale frames must be smaller"
+
+    model = FasterRCNN(cfg=cfg, num_classes=2)
+    # the traced per-scale grid selection matches the static builder
+    bound = model.bind({"params": {}})
+    feat = jnp.zeros((1, 8, 12, 1))
+    for idx, s in enumerate(cfg.train.scales):
+        bev, _ = bound._anchors(feat, "train", jnp.int32(idx))
+        ref_bev, _ = build_anchor_grid(cfg, 8, 12, float(s))
+        np.testing.assert_allclose(np.asarray(bev), ref_bev, atol=1e-5)
+
+    rng = jax.random.PRNGKey(0)
+    state, opt = create_train_state(model, cfg, rng, batches[0])
+    step = make_train_step(model, opt)
+    done = set()
+    for b in batches:
+        if int(b["scale_idx"]) in done:
+            continue
+        done.add(int(b["scale_idx"]))
+        state, losses = step(
+            state, {k: jnp.asarray(v) for k, v in b.items()}, rng
+        )
+        assert np.isfinite(float(losses["total_loss"]))
+    assert done == {0, 1}

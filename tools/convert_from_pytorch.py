@@ -59,7 +59,23 @@ def main(argv=None):
         )
 
         new_params, n = load_vgg16_state_dict(params, sd, verbose=args.verbose)
+    elif args.net.startswith("mobile"):
+        from faster_rcnn_pytorch_multimodal_tpu.utils.convert import (
+            load_mobilenet_state_dict,
+        )
+
+        new_params, n = load_mobilenet_state_dict(params, sd, verbose=args.verbose)
     else:
+        if args.net_type == "lidar" and "conv1.weight" in sd:
+            # imagenet RGB bootstrap for the BEV stem
+            # (ref lib/nets/lidarnet.py:249-267)
+            from faster_rcnn_pytorch_multimodal_tpu.utils.convert import (
+                replicate_conv1_for_lidar,
+            )
+
+            sd = replicate_conv1_for_lidar(
+                sd, cfg.lidar.num_slices, cfg.lidar.num_channel
+            )
         new_params, n = load_resnet_state_dict(
             params, sd, use_fpn=bool(args.en_fpn), verbose=args.verbose
         )

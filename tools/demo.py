@@ -123,8 +123,12 @@ def main(argv=None):
             sort_key=cfg.uc.sort_type,
         )
     else:
-        # un-normalize for display
-        disp = frame["data"] * np.asarray(cfg.pixel_stddevs) + np.asarray(cfg.pixel_means)
+        raw = np.asarray(frame["data"])
+        if np.issubdtype(raw.dtype, np.integer):
+            disp = raw.astype(np.float32)  # dataset frames ship raw uint8
+        else:
+            # float frames are pre-normalized; un-normalize for display
+            disp = raw * np.asarray(cfg.pixel_stddevs) + np.asarray(cfg.pixel_means)
         canvas = disp[:, :, ::-1]  # BGR -> RGB
         for j in range(1, num_classes):
             if len(boxes_j[j]):
