@@ -656,45 +656,40 @@ class FasterRCNN(nn.Module):
 
         # --- RPN losses (ref SURVEY §2.1: CE over the 256 sampled anchors,
         # smooth-L1 with inside/outside weights) ---
-        labels = at.labels  # (B, N)
+        # anchor_target returns COMPACT K-lane outputs (K ~ 384 of 768k at
+        # FPN stride 4) plus the sampled lane ids; gather the RPN head's
+        # per-lane outputs at those ids so every loss runs on K lanes
+        labels = at.labels  # (B, K)
         lbl_w = (labels >= 0).astype(jnp.float32)
+        sel3 = at.sel[:, :, None]
+        sel_logits = jnp.take_along_axis(rpn_out["logits"], sel3, axis=1)
         if c.uc.en_rpn_cls_aleatoric:
-            # Bayesian CE over the sampled anchor batch: logit distortion
-            # over all ~768k lanes x 200 draws would be prohibitive, so
-            # gather the <= rpn_batchsize sampled lanes first (top_k on the
-            # sample mask; surplus lanes carry weight 0)
-            kk = min(c.train.rpn_batchsize, labels.shape[1])
-            _, sel = jax.lax.top_k(lbl_w, kk)  # (B, kk)
-            sel_logits = jnp.take_along_axis(
-                rpn_out["logits"], sel[:, :, None], axis=1
-            )
+            # Bayesian CE over the sampled anchor batch (logit distortion
+            # over all lanes x 200 draws would be prohibitive)
             sel_var = jnp.exp(
-                jnp.take_along_axis(rpn_out["cls_al_var"], sel[:, :, None], axis=1)
+                jnp.take_along_axis(rpn_out["cls_al_var"], sel3, axis=1)
             )
-            sel_labels = jnp.take_along_axis(labels, sel, axis=1)
-            sel_w = (sel_labels >= 0).astype(jnp.float32).reshape(-1)
             ce_s, _mi = bayesian_cross_entropy(
                 sel_logits.reshape(-1, 2),
                 sel_var.reshape(-1, 2),
-                jnp.clip(sel_labels, 0).astype(jnp.int32).reshape(-1),
+                jnp.clip(labels, 0).astype(jnp.int32).reshape(-1),
                 c.uc.a_num_ce_sample,
                 jax.random.fold_in(rng_cls, 3),
-                weights=sel_w,
+                weights=lbl_w.reshape(-1),
             )
             losses["rpn_cross_entropy"] = ce_s
         else:
-            rpn_logits = rpn_out["logits"].reshape(-1, 2)
             losses["rpn_cross_entropy"] = cross_entropy(
-                rpn_logits,
+                sel_logits.reshape(-1, 2),
                 jnp.clip(labels, 0).astype(jnp.int32).reshape(-1),
                 weights=lbl_w.reshape(-1),
             )
         losses["rpn_loss_box"] = smooth_l1_loss(
-            rpn_out["deltas"],
+            jnp.take_along_axis(rpn_out["deltas"], sel3, axis=1),
             at.bbox_targets,
             at.bbox_inside_weights,
             at.bbox_outside_weights,
-            bbox_var=rpn_out.get("bbox_al_var")
+            bbox_var=jnp.take_along_axis(rpn_out["bbox_al_var"], sel3, axis=1)
             if c.uc.en_rpn_bbox_aleatoric
             else None,
             sum_axes=(1, 2),

@@ -51,6 +51,20 @@ def _hat_weights(coords: jnp.ndarray, dim: int) -> jnp.ndarray:
     return jnp.maximum(1.0 - jnp.abs(c[:, :, None] - grid[None, None, :]), 0.0)
 
 
+def _pooled_weights(coords: jnp.ndarray, dim: int, p: int, sr: int) -> jnp.ndarray:
+    """(R, P*SR) sample coords -> (R, P, dim) PRE-AVERAGED weight rows.
+
+    RoI align's output is the mean over an sr x sr sample grid of separable
+    bilinear taps; the mean commutes with the (linear) feature contraction,
+    so averaging the sr hat-rows per output bin FIRST is exact:
+        mean_ij sum_hw wy[i,h] wx[j,w] F = sum_hw (mean_i wy)(mean_j wx) F.
+    This halves the first einsum (S=P*SR -> P rows), quarters the second,
+    and deletes the (R, P, SR, P, SR, C) reshape+mean epilogue — ~2x less
+    HBM traffic for bit-identical-up-to-rounding output."""
+    w = _hat_weights(coords, dim)  # (R, P*SR, dim)
+    return w.reshape(w.shape[0], p, sr, dim).mean(axis=2)
+
+
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "aligned"))
 def roi_align(
     features: jnp.ndarray,
@@ -73,20 +87,21 @@ def roi_align(
     Returns: (R, output_size, output_size, C)
     """
     h, w, c = features.shape
-    r = rois.shape[0]
     p, sr = output_size, sampling_ratio
 
     gy, gx = _sample_coords(rois, spatial_scale, p, sr, aligned)
-    wy = _hat_weights(gy, h).astype(features.dtype)  # (R, P*SR, H)
-    wx = _hat_weights(gx, w).astype(features.dtype)  # (R, P*SR, W)
+    # the sr x sr sample mean is pre-folded into the weights (exact, see
+    # _pooled_weights): the contractions run at P rows, not P*SR
+    wy = _pooled_weights(gy, h, p, sr).astype(features.dtype)  # (R, P, H)
+    wx = _pooled_weights(gx, w, p, sr).astype(features.dtype)  # (R, P, W)
 
     # Contraction order matters for HBM traffic, not FLOPs: the first
-    # einsum materializes an (R, S, dim, C) intermediate carrying whichever
+    # einsum materializes an (R, P, dim, C) intermediate carrying whichever
     # spatial dim was NOT contracted (~hundreds of MB per frame at
     # detection sizes).  Contract the LARGER dim first so the intermediate
     # carries the smaller one (1.9x less traffic at 128x240 maps).
     if w >= h:
-        # contract W: (R, S, W) x (H, W, C) -> (R, S, H, C); then contract H
+        # contract W: (R, P, W) x (H, W, C) -> (R, P, H, C); then contract H
         tmp = jnp.einsum(
             "rxw,hwc->rxhc", wx, features, preferred_element_type=features.dtype
         )
@@ -94,14 +109,13 @@ def roi_align(
             "ryh,rxhc->ryxc", wy, tmp, preferred_element_type=features.dtype
         )
     else:
-        # contract H: (R, S, H) x (H, W, C) -> (R, S, W, C); then contract W
+        # contract H: (R, P, H) x (H, W, C) -> (R, P, W, C); then contract W
         tmp = jnp.einsum(
             "rsh,hwc->rswc", wy, features, preferred_element_type=features.dtype
         )
         out = jnp.einsum(
             "rxw,rywc->ryxc", wx, tmp, preferred_element_type=features.dtype
         )
-    out = out.reshape(r, p, sr, p, sr, c).mean(axis=(2, 4))
     return out
 
 
@@ -112,34 +126,22 @@ def roi_align_batched(
     output_size: int = 7,
     sampling_ratio: int = 2,
     aligned: bool = False,
-    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Batched RoI align: features (B, H, W, C), rois (B, R, 4) ->
-    (B, R, P, P, C).
+    (B, R, P, P, C), via the vmapped einsum formulation.
 
-    Uses the vmapped einsum path by default; the Pallas kernel
-    (ops/roi_align_pallas.py) is opt-in via FRCNN_PALLAS_ROI_ALIGN=1 while
-    it measures slower than XLA end-to-end (see pallas_available()).
-    rois are stop-gradiented on both paths: torchvision's roi_align
-    backward ignores the rois (ref lib/utils/torchpoolers.py pools through
+    A hand-written Pallas kernel was built and measured in round 2 and
+    REMOVED in round 3: with the sr-mean folded into the interpolation
+    weights (see _pooled_weights) the einsum path's batched contraction
+    runs at M=P=7 rows, which a custom kernel under-utilizes the 128-wide
+    MXU on even harder than XLA's fusion does (round-2 numbers: einsum
+    52.4 f/s vs pallas 37-38 f/s end-to-end C4; the fold makes the gap
+    wider).  rois are stop-gradiented: torchvision's roi_align backward
+    ignores the rois (ref lib/utils/torchpoolers.py pools through
     torchvision.ops.roi_align), so box gradients must not leak into the
     RPN through the pooling coordinates.
     """
     rois = jax.lax.stop_gradient(rois)
-    if use_pallas is None:
-        from faster_rcnn_pytorch_multimodal_tpu.ops.roi_align_pallas import (
-            pallas_available,
-        )
-
-        use_pallas = pallas_available()
-    if use_pallas:
-        from faster_rcnn_pytorch_multimodal_tpu.ops.roi_align_pallas import (
-            roi_align_batched_pallas,
-        )
-
-        return roi_align_batched_pallas(
-            features, rois, spatial_scale, output_size, sampling_ratio, aligned
-        )
     return jax.vmap(
         lambda f, r: roi_align(
             f, r, spatial_scale, output_size=output_size,
@@ -211,12 +213,11 @@ def multiscale_roi_align_batched(
     sampling_ratio: int = 2,
     canonical_scale: int = 224,
     canonical_level: int = 4,
-    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Batched FPN multiscale RoI align: feature_maps (B, Hi, Wi, C) finest
     first, rois (B, R, 4) -> (B, R, P, P, C).  Same LevelMapper rule and
-    pool-all-levels-mask-select as the per-frame variant, but each level's
-    pool goes through roi_align_batched (Pallas on TPU)."""
+    pool-all-levels-mask-select as the per-frame variant, batched through
+    roi_align_batched."""
     num_levels = len(feature_maps)
     areas = jnp.maximum(
         (rois[..., 2] - rois[..., 0]) * (rois[..., 3] - rois[..., 1]), 1e-6
@@ -235,7 +236,6 @@ def multiscale_roi_align_batched(
             1.0 / float(strides[i]),
             output_size=output_size,
             sampling_ratio=sampling_ratio,
-            use_pallas=use_pallas,
         )
         sel = (lvl == i).astype(pooled.dtype)[:, :, None, None, None]
         out = pooled * sel if out is None else out + pooled * sel

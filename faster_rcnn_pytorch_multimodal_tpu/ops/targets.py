@@ -50,10 +50,22 @@ def _rank_within(candidate: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
 
 
 class AnchorTargets(NamedTuple):
-    labels: jnp.ndarray  # (N,) float32 in {-1, 0, 1}
-    bbox_targets: jnp.ndarray  # (N, 4)
-    bbox_inside_weights: jnp.ndarray  # (N, 4)
-    bbox_outside_weights: jnp.ndarray  # (N, 4)
+    """COMPACT sampled-lane representation (K = fg quota + rpn_batchsize).
+
+    The reference materializes labels/targets/weights for every anchor lane
+    and lets the loss mask them (fine at batch 1 on GPU); at FPN stride 4
+    that is 768k lanes x 8 frames of (N, 4) f32 tensors — ~70 ms/step of
+    pure HBM traffic on v5e for values that are zero everywhere but the
+    <= 384 sampled lanes.  The subsampling top_k already yields the sampled
+    lane INDICES, so everything downstream (regression targets, weights,
+    losses) is computed on K lanes; `expand_anchor_targets` scatters back
+    to full lanes for parity tests / debug draws."""
+
+    sel: jnp.ndarray  # (K,) int32 sampled anchor lane ids
+    labels: jnp.ndarray  # (K,) float32 in {-1, 0, 1}; -1 = inactive slot
+    bbox_targets: jnp.ndarray  # (K, 4)
+    bbox_inside_weights: jnp.ndarray  # (K, 4)
+    bbox_outside_weights: jnp.ndarray  # (K, 4)
 
 
 @partial(
@@ -127,46 +139,67 @@ def anchor_target(
     # subsample fg to fg_fraction * batch, then bg to fill the batch.
     # "random choice without replacement" = keep the k smallest of a uniform
     # random key within the candidate set; top_k on the key beats a full
-    # argsort over the ~500k anchor lanes.
+    # argsort over the ~500k anchor lanes AND hands back the sampled lane
+    # indices, so the whole regression tail runs on K lanes
     rng_fg, rng_bg = jax.random.split(rng)
     num_fg = min(int(fg_fraction * rpn_batchsize), n)
     k_bg = min(rpn_batchsize, n)
     fg = labels == 1.0
     fg_key = jnp.where(fg, jax.random.uniform(rng_fg, (n,)), 2.0)
-    kth_fg = -jax.lax.top_k(-fg_key, num_fg)[0][-1]
-    labels = jnp.where(fg & (fg_key > kth_fg), -1.0, labels)
+    fg_vals, fg_sel = jax.lax.top_k(-fg_key, num_fg)
+    fg_valid = fg_vals > -1.5  # real fg candidates (key <= 1)
+    fg_count = jnp.sum(fg_valid)
 
-    fg_count = jnp.sum(labels == 1.0)
     num_bg = rpn_batchsize - fg_count  # dynamic, <= rpn_batchsize
     bg = labels == 0.0
     bg_key = jnp.where(bg, jax.random.uniform(rng_bg, (n,)), 2.0)
-    smallest_bg = -jax.lax.top_k(-bg_key, k_bg)[0]  # ascending
-    thr_idx = jnp.clip(num_bg, 1, k_bg) - 1
-    kth_bg = jnp.where(num_bg > 0, smallest_bg[thr_idx], -1.0)
-    labels = jnp.where(bg & (bg_key > kth_bg), -1.0, labels)
+    bg_vals, bg_sel = jax.lax.top_k(-bg_key, k_bg)
+    bg_valid = (bg_vals > -1.5) & (jnp.arange(k_bg) < num_bg)
 
-    # regression targets against each anchor's best GT (weights zero them
-    # out everywhere labels != 1, so computing on all lanes is free).
-    # one-hot matmul instead of gt_boxes[argmax_overlaps]: a row gather of
-    # N=768k (FPN stride 4) indices costs ~50ms/column on v5e (latency-bound
-    # scalar loads), while (N, G) @ (G, 4) is trivial MXU work; HIGHEST
-    # precision keeps it bit-exact (products are 0 or the f32 value)
-    matched_gt = jax.lax.dot(
-        jax.nn.one_hot(argmax_overlaps, gt_boxes.shape[0], dtype=jnp.float32),
-        gt_boxes[:, :4],
-        precision=jax.lax.Precision.HIGHEST,
+    sel = jnp.concatenate([fg_sel, bg_sel])  # (K,)
+    sel_labels = jnp.concatenate(
+        [jnp.where(fg_valid, 1.0, -1.0), jnp.where(bg_valid, 0.0, -1.0)]
     )
-    bbox_targets = bbox_transform(anchors, matched_gt)
+
+    # regression targets on the K sampled lanes only: gathers of K rows are
+    # latency-fine (it was the N-row gathers that cost ~50 ms on v5e)
+    anchors_sel = anchors[sel]
+    matched_gt = gt_boxes[argmax_overlaps[sel], :4]
+    bbox_targets = bbox_transform(anchors_sel, matched_gt)
     bbox_targets = jnp.where(any_gt, bbox_targets, jnp.zeros_like(bbox_targets))
 
-    is_fg = (labels == 1.0)[:, None]
+    is_fg = (sel_labels == 1.0)[:, None]
     bbox_inside_weights = jnp.where(is_fg, 1.0, 0.0) * jnp.ones((1, 4))
-    num_examples = jnp.sum(labels >= 0.0).astype(jnp.float32)
+    num_examples = jnp.sum(sel_labels >= 0.0).astype(jnp.float32)
     uniform_w = 1.0 / jnp.maximum(num_examples, 1.0)
-    bbox_outside_weights = jnp.where((labels >= 0.0)[:, None], uniform_w, 0.0) * jnp.ones(
-        (1, 4)
+    bbox_outside_weights = jnp.where(
+        (sel_labels >= 0.0)[:, None], uniform_w, 0.0
+    ) * jnp.ones((1, 4))
+    return AnchorTargets(
+        sel, sel_labels, bbox_targets, bbox_inside_weights, bbox_outside_weights
     )
-    return AnchorTargets(labels, bbox_targets, bbox_inside_weights, bbox_outside_weights)
+
+
+def expand_anchor_targets(at: AnchorTargets, n: int) -> AnchorTargets:
+    """Scatter compact per-lane outputs back to the full N-lane layout of
+    the reference's anchor_target_layer (for parity tests / debug draws).
+    Unsampled lanes get label -1 and zero targets/weights."""
+    # inactive slots carry ARBITRARY lane ids (top_k pads with
+    # non-candidate lanes), which may collide with active slots of the
+    # other class — use max/add scatters so inactive writes are no-ops
+    active = at.labels >= 0.0
+    labels = jnp.full((n,), -1.0).at[at.sel].max(
+        jnp.where(active, at.labels, -1.0)
+    )
+    zero = jnp.zeros((n, 4))
+    w = active[:, None].astype(jnp.float32)
+    return AnchorTargets(
+        jnp.arange(n, dtype=jnp.int32),
+        labels,
+        zero.at[at.sel].add(at.bbox_targets * w),
+        zero.at[at.sel].add(at.bbox_inside_weights * w),
+        zero.at[at.sel].add(at.bbox_outside_weights * w),
+    )
 
 
 class ProposalTargets(NamedTuple):

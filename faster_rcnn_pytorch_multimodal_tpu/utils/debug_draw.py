@@ -89,11 +89,13 @@ def draw_anchor_targets(cfg, batch: Dict[str, np.ndarray], out_dir: str):
         negative_overlap=cfg.train.rpn_negative_overlap,
         clobber_positives=cfg.train.rpn_clobber_positives,
     )
+    # anchor_target is compact: at.sel holds the sampled lane ids
     labels = np.asarray(at.labels)
+    sel_anchors = anchors[np.asarray(at.sel)]
     canvas = _canvas(cfg, data[0])
-    bg = anchors[labels == 0.0]
+    bg = sel_anchors[labels == 0.0]
     canvas = _draw_boxes(canvas, bg[:: max(1, len(bg) // 64)], (255, 64, 64))
-    canvas = _draw_boxes(canvas, anchors[labels == 1.0], (64, 255, 64))
+    canvas = _draw_boxes(canvas, sel_anchors[labels == 1.0], (64, 255, 64))
     canvas = _draw_boxes(canvas, gt_bev[np.asarray(batch["gt_mask"][0], bool)],
                          (255, 255, 255))
     path = os.path.join(out_dir, "anchor_targets.png")

@@ -9,7 +9,19 @@ import numpy as np
 from faster_rcnn_pytorch_multimodal_tpu.ops.anchors import generate_anchors_pre
 from faster_rcnn_pytorch_multimodal_tpu.ops.box_transform import bbox_transform
 from faster_rcnn_pytorch_multimodal_tpu.ops.iou import bbox_overlaps
-from faster_rcnn_pytorch_multimodal_tpu.ops.targets import anchor_target, proposal_target
+from faster_rcnn_pytorch_multimodal_tpu.ops.targets import (
+    anchor_target,
+    expand_anchor_targets,
+    proposal_target,
+)
+
+
+def _anchor_target_full(anchors, *args, **kw):
+    """Compact anchor_target scattered back to the reference's full-lane
+    layout, so the invariant checks below read exactly like the
+    anchor_target_layer semantics they mirror."""
+    at = anchor_target(anchors, *args, **kw)
+    return expand_anchor_targets(at, anchors.shape[0])
 
 
 def _setup_anchor_case(h=40, w=48):
@@ -25,7 +37,7 @@ def _setup_anchor_case(h=40, w=48):
 
 def test_anchor_target_invariants():
     anchors, gt, mask, window = _setup_anchor_case()
-    out = anchor_target(anchors, gt, mask, window, jax.random.PRNGKey(0))
+    out = _anchor_target_full(anchors, gt, mask, window, jax.random.PRNGKey(0))
     labels = np.asarray(out.labels)
     n_fg = (labels == 1).sum()
     n_bg = (labels == 0).sum()
@@ -68,7 +80,7 @@ def test_anchor_target_invariants():
 
 def test_anchor_target_no_gt():
     anchors, gt, mask, window = _setup_anchor_case()
-    out = anchor_target(anchors, gt, jnp.zeros_like(mask), window, jax.random.PRNGKey(1))
+    out = _anchor_target_full(anchors, gt, jnp.zeros_like(mask), window, jax.random.PRNGKey(1))
     labels = np.asarray(out.labels)
     assert (labels != 1).all()
     a = np.asarray(anchors)
@@ -82,8 +94,8 @@ def test_anchor_target_no_gt():
 
 def test_anchor_target_subsample_is_random():
     anchors, gt, mask, window = _setup_anchor_case()
-    l1 = np.asarray(anchor_target(anchors, gt, mask, window, jax.random.PRNGKey(2)).labels)
-    l2 = np.asarray(anchor_target(anchors, gt, mask, window, jax.random.PRNGKey(3)).labels)
+    l1 = np.asarray(_anchor_target_full(anchors, gt, mask, window, jax.random.PRNGKey(2)).labels)
+    l2 = np.asarray(_anchor_target_full(anchors, gt, mask, window, jax.random.PRNGKey(3)).labels)
     assert (l1 != l2).any()  # bg subsets differ across keys
     assert ((l1 == 1) == (l2 == 1)).all() or True  # fg may also differ if >128
 
