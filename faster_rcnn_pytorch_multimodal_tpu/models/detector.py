@@ -333,6 +333,7 @@ class FasterRCNN(nn.Module):
                 drop_rate=resnet_drop,
                 zero_init_residual=zir,
                 remat=c.resnet.remat,
+                remat_stages=c.resnet.remat_stages,
             )
             self.fpn = FPN(planes=256)
             self.tail = FCTail(self.fc7_channels)
@@ -345,6 +346,7 @@ class FasterRCNN(nn.Module):
                 drop_rate=resnet_drop,
                 zero_init_residual=zir,
                 remat=c.resnet.remat,
+                remat_stages=c.resnet.remat_stages,
             )
             self.tail = ResNetLayer4(
                 num_layers,

@@ -252,6 +252,7 @@ class ResNetC4(nn.Module):
     batchnorm_en: bool = True
     zero_init_residual: bool = False
     remat: bool = True
+    remat_stages: Tuple[int, ...] = (1, 2)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -264,13 +265,20 @@ class ResNetC4(nn.Module):
             batchnorm_en=self.batchnorm_en,
             zero_init_residual=self.zero_init_residual,
         )
-        stage = RematResStage if self.remat else ResStage
+
+        def stage(idx: int):
+            return (
+                RematResStage
+                if self.remat and idx in self.remat_stages
+                else ResStage
+            )
+
         x = ResNetStem(name="stem")(x)
-        x = stage(64, blocks[0], 1, name="layer1", **kw)(x, deterministic)
-        x = stage(128, blocks[1], 2, caffe_stride=True, name="layer2", **kw)(
+        x = stage(1)(64, blocks[0], 1, name="layer1", **kw)(x, deterministic)
+        x = stage(2)(128, blocks[1], 2, caffe_stride=True, name="layer2", **kw)(
             x, deterministic
         )
-        x = stage(256, blocks[2], 2, caffe_stride=True, name="layer3", **kw)(
+        x = stage(3)(256, blocks[2], 2, caffe_stride=True, name="layer3", **kw)(
             x, deterministic
         )
         return x
@@ -311,6 +319,7 @@ class ResNetPyramid(nn.Module):
     batchnorm_en: bool = True
     zero_init_residual: bool = False
     remat: bool = True
+    remat_stages: Tuple[int, ...] = (1, 2)
 
     @nn.compact
     def __call__(
@@ -325,14 +334,21 @@ class ResNetPyramid(nn.Module):
             batchnorm_en=self.batchnorm_en,
             zero_init_residual=self.zero_init_residual,
         )
-        stage = RematResStage if self.remat else ResStage
+
+        def stage(idx: int):
+            return (
+                RematResStage
+                if self.remat and idx in self.remat_stages
+                else ResStage
+            )
+
         x = ResNetStem(name="stem")(x)
-        c2 = stage(64, blocks[0], 1, name="layer1", **kw)(x, deterministic)
-        c3 = stage(128, blocks[1], 2, caffe_stride=True, name="layer2", **kw)(
+        c2 = stage(1)(64, blocks[0], 1, name="layer1", **kw)(x, deterministic)
+        c3 = stage(2)(128, blocks[1], 2, caffe_stride=True, name="layer2", **kw)(
             c2, deterministic
         )
-        c4 = stage(256, blocks[2], 2, caffe_stride=True, name="layer3", **kw)(
+        c4 = stage(3)(256, blocks[2], 2, caffe_stride=True, name="layer3", **kw)(
             c3, deterministic
         )
-        c5 = stage(512, blocks[3], 2, name="layer4", **kw)(c4, deterministic)
+        c5 = stage(4)(512, blocks[3], 2, name="layer4", **kw)(c4, deterministic)
         return c2, c3, c4, c5

@@ -1,0 +1,190 @@
+"""Diagnose from-scratch BEV convergence on ONE frozen synthetic frame.
+
+Round-3 instrumentation for the "BEV does not converge from scratch"
+finding (VERDICT r2, weak #5): overfit a single synthetic lidar frame
+(the DEBUG.FREEZE_DB scenario) and report, stage by stage, where recall
+dies:
+
+  A. anchor grid vs GT: per-GT best IoU + counts over the RPN pos/neg
+     thresholds (anchor-shape vs synthetic-box-shape sanity),
+  B. anchor_target: fg/bg sample counts actually fed to the RPN loss,
+  C. training loop: losses + RPN proposal recall@0.5 every eval_every
+     iters (proposals from the current params on the SAME frame).
+
+Runs on CPU by default so it never contends with a TPU bench
+(JAX_PLATFORMS honored if set by the caller).
+
+Usage: python tools/diag_bev_overfit.py --iters 600 --eval_every 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if "JAX_PLATFORMS" not in os.environ:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def build_cfg(net: str):
+    from faster_rcnn_pytorch_multimodal_tpu.config import (
+        cfg_from_list,
+        default_config,
+    )
+
+    return cfg_from_list(
+        default_config(),
+        (
+            "NET_TYPE", "lidar",
+            "NET_VARIANT", net,
+            "TRAIN.SCALES", "(0.5,)",
+            "TRAIN.RPN_POST_NMS_TOP_N", "512",
+            "STATIC.NMS_PRE_TRAIN", "1024",
+            "STATIC.MAX_GT", "16",
+            "STATIC.MAX_POINTS", "16384",
+            "RESNET.FIXED_BLOCKS", "-1",  # from scratch: BN must train
+            "DEBUG.FREEZE_DB", "True",
+        ),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=600)
+    ap.add_argument("--eval_every", type=int, default=100)
+    ap.add_argument("--net", default="res18")
+    ap.add_argument("--lr", type=float, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from faster_rcnn_pytorch_multimodal_tpu.data import (
+        BatchLoader,
+        SyntheticDataset,
+    )
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import (
+        FasterRCNN,
+        build_anchor_grid,
+        feat_stride,
+    )
+    from faster_rcnn_pytorch_multimodal_tpu.ops.iou import (
+        bbox_3d_to_bev_aabb,
+        bbox_overlaps,
+    )
+    from faster_rcnn_pytorch_multimodal_tpu.ops.targets import anchor_target
+    from faster_rcnn_pytorch_multimodal_tpu.training.solver import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = build_cfg(args.net)
+    if args.lr is not None:
+        cfg = cfg.replace(train=cfg.train.replace(learning_rate=args.lr))
+    ds = SyntheticDataset(cfg, num_frames=8, num_classes=2, seed=0)
+    loader = BatchLoader(ds, cfg, batch_size=1, seed=0, augment=False)
+    batch = {k: jnp.asarray(v) for k, v in loader.next().items()}
+    raster = batch["data"]
+    print(f"raster {raster.shape} window {np.asarray(batch['window'][0])}")
+
+    gt7 = batch["gt_boxes"][0]
+    gt_mask = np.asarray(batch["gt_mask"][0]).astype(bool)
+    gt_bev = np.asarray(bbox_3d_to_bev_aabb(gt7[:, :7]))[gt_mask]
+    n_gt = int(gt_mask.sum())
+    print(f"\n=== frame 0: {n_gt} GT boxes (voxel-grid BEV AABBs) ===")
+    for i, b in enumerate(gt_bev):
+        print(
+            f"  gt[{i}] x1y1x2y2=({b[0]:.1f},{b[1]:.1f},{b[2]:.1f},{b[3]:.1f})"
+            f" wh=({b[2] - b[0]:.1f},{b[3] - b[1]:.1f})"
+        )
+
+    # --- stage A: anchor grid vs GT IoU ---
+    stride = feat_stride(cfg)
+    fh = raster.shape[1] // stride
+    fw = raster.shape[2] // stride
+    anchors_bev, _ = build_anchor_grid(cfg, fh, fw, float(cfg.train.scales[0]))
+    print(
+        f"\n=== A. anchors: {anchors_bev.shape[0]} lanes"
+        f" (feat {fh}x{fw}, stride {stride}) ==="
+    )
+    ex = anchors_bev[: cfg.num_anchors_3d]
+    for i, a in enumerate(ex):
+        print(
+            f"  anchor[{i}] wh=({a[2] - a[0]:.1f},{a[3] - a[1]:.1f})"
+        )
+    iou = np.asarray(bbox_overlaps(jnp.asarray(anchors_bev), jnp.asarray(gt_bev)))
+    pos, neg = cfg.train.rpn_positive_overlap, cfg.train.rpn_negative_overlap
+    for i in range(n_gt):
+        col = iou[:, i]
+        print(
+            f"  gt[{i}] best IoU {col.max():.3f} | >= {pos}: {(col >= pos).sum()}"
+            f" | >= 0.5: {(col >= 0.5).sum()} | >= {neg}: {(col >= neg).sum()}"
+        )
+
+    # --- stage B: anchor_target sampling ---
+    at = anchor_target(
+        jnp.asarray(anchors_bev),
+        batch["gt_boxes"][0] if batch["gt_boxes"].shape[-1] == 5
+        else jnp.concatenate(
+            [bbox_3d_to_bev_aabb(gt7[:, :7]), gt7[:, 7:8]], axis=-1
+        ),
+        batch["gt_mask"][0],
+        batch["window"][0],
+        jax.random.PRNGKey(0),
+        rpn_batchsize=cfg.train.rpn_batchsize,
+        fg_fraction=cfg.train.rpn_fg_fraction,
+        positive_overlap=pos,
+        negative_overlap=neg,
+        clobber_positives=cfg.train.rpn_clobber_positives,
+    )
+    labels = np.asarray(at.labels)
+    print(
+        f"\n=== B. anchor_target: fg={int((labels == 1).sum())}"
+        f" bg={int((labels == 0).sum())} of K={labels.shape[0]} slots ==="
+    )
+
+    # --- stage C: overfit + proposal recall ---
+    model = FasterRCNN(cfg=cfg, num_classes=2)
+    rng = jax.random.PRNGKey(0)
+    state, opt = create_train_state(model, cfg, rng, loader.peek())
+    step = make_train_step(model, opt)
+
+    fwd = jax.jit(
+        lambda p, d, w: model.apply(
+            p, d, w, method=FasterRCNN.forward_test,
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+    )
+
+    def recall(params):
+        out = fwd(params, raster, batch["window"])
+        rois = np.asarray(out["rois"][0])  # (P, 4) BEV
+        iou_p = np.asarray(
+            bbox_overlaps(jnp.asarray(rois), jnp.asarray(gt_bev))
+        )
+        best = iou_p.max(axis=0)
+        return float((best >= 0.5).mean()), best
+
+    print(f"\n=== C. overfit {args.iters} iters (lr={cfg.train.learning_rate}) ===")
+    for it in range(1, args.iters + 1):
+        state, losses = step(state, batch, rng)
+        if it % args.eval_every == 0 or it == 1:
+            r, best = recall(state.params)
+            ls = {k: float(v) for k, v in losses.items()}
+            print(
+                f"  iter {it:4d} total={ls['total_loss']:.4f}"
+                f" rpn_ce={ls['rpn_cross_entropy']:.4f}"
+                f" rpn_box={ls['rpn_loss_box']:.4f}"
+                f" ce={ls['cross_entropy']:.4f} box={ls['loss_box']:.4f}"
+                f" | RPN recall@0.5 {r:.2f}"
+                f" (per-gt best IoU {np.round(best, 2)})"
+            )
+    print("\ndone")
+
+
+if __name__ == "__main__":
+    main()
