@@ -105,7 +105,10 @@ def _test_throughput(cfg, ds_kwargs):
     import jax.numpy as jnp
 
     from faster_rcnn_pytorch_multimodal_tpu.data import BatchLoader, SyntheticDataset
-    from faster_rcnn_pytorch_multimodal_tpu.models.detector import FasterRCNN
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import (
+        FasterRCNN,
+        as_dropout_rng,
+    )
 
     ds = SyntheticDataset(cfg, num_frames=16, **ds_kwargs)
     loader = BatchLoader(ds, cfg, batch_size=BATCH, seed=0, augment=False)
@@ -119,7 +122,8 @@ def _test_throughput(cfg, ds_kwargs):
     )
     fwd = jax.jit(
         lambda p, d, w, key: model.apply(
-            p, d, w, method=FasterRCNN.forward_test, rngs={"dropout": key}
+            p, d, w, method=FasterRCNN.forward_test,
+            rngs={"dropout": as_dropout_rng(key)}
         )["cls_prob"]
     )
     batch = loader.next()

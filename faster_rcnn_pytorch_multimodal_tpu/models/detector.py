@@ -144,6 +144,19 @@ def cast_for_compute(params, cfg: Config):
     )
 
 
+def as_dropout_rng(key: jax.Array) -> jax.Array:
+    """Re-seed a dropout stream on the TPU-native RBG bit generator.
+
+    Per-element threefry mask generation measured ~30 ms/step on the
+    full-UC train config (masks over (2048,7,7,512) tail activations and
+    the (2048,2048) fc7, regenerated inside the remat backward).  XLA's
+    RngBitGenerator emits hardware random bits at a fraction of the cost
+    and is statistically more than enough for dropout.  Key derivation
+    (fold_in/split) stays threefry on the 4-word key — scalar work."""
+    data = jax.random.bits(key, (4,), jnp.uint32)
+    return jax.random.wrap_key_data(data, impl="rbg")
+
+
 def _to_f32(tree):
     return jax.tree.map(
         lambda x: x.astype(jnp.float32)

@@ -39,9 +39,22 @@ def make_train_step(model: FasterRCNN, optimizer: optax.GradientTransformation):
     """One jitted step: loss, grads, update.  Batch layout (leading dim B):
     data (B,H,W,C), gt_boxes (B,G,5|8), gt_mask (B,G), window (B,4)."""
 
-    from faster_rcnn_pytorch_multimodal_tpu.models.detector import cast_for_compute
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import (
+        as_dropout_rng,
+        cast_for_compute,
+    )
+    from faster_rcnn_pytorch_multimodal_tpu.training.optim import frozen_mask
 
     def loss_fn(params, batch, rng):
+        # stop-gradient the frozen subtree (stem, fixed blocks, every
+        # FrozenBatchNorm leaf): torch's requires_grad=False params have
+        # no grads at all — so they must not enter the global-norm clip —
+        # and XLA DCEs their backward reductions (the per-channel
+        # dscale/dbias sums were ~10 ms/step at the benchmark batch)
+        froz = frozen_mask(params, model.cfg)
+        params = jax.tree.map(
+            lambda p, m: jax.lax.stop_gradient(p) if m else p, params, froz
+        )
         losses = model.apply(
             cast_for_compute(params, model.cfg),
             batch["data"],
@@ -53,7 +66,7 @@ def make_train_step(model: FasterRCNN, optimizer: optax.GradientTransformation):
             batch.get("dc_mask"),
             batch.get("scale_idx"),
             method=FasterRCNN.forward_train,
-            rngs={"dropout": jax.random.fold_in(rng, 1)},
+            rngs={"dropout": as_dropout_rng(jax.random.fold_in(rng, 1))},
         )
         return losses["total_loss"], losses
 
@@ -75,7 +88,10 @@ def make_val_detect_step(model: FasterRCNN):
     """Jitted full inference pass for the val cycle (drawing + RPN recall),
     ref train_val.py:402-445: run_eval -> filter_and_draw_prep -> draw."""
 
-    from faster_rcnn_pytorch_multimodal_tpu.models.detector import cast_for_compute
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import (
+        as_dropout_rng,
+        cast_for_compute,
+    )
 
     @jax.jit
     def detect(params, data, window, rng):
@@ -84,7 +100,7 @@ def make_val_detect_step(model: FasterRCNN):
             data,
             window,
             method=FasterRCNN.forward_test,
-            rngs={"dropout": rng},
+            rngs={"dropout": as_dropout_rng(rng)},
         )
 
     return detect
@@ -94,7 +110,10 @@ def make_eval_step(model: FasterRCNN):
     """Validation losses on a held-out batch (no update) — the solver's
     periodic val cycle (ref train_val.py:402-445 run_eval path)."""
 
-    from faster_rcnn_pytorch_multimodal_tpu.models.detector import cast_for_compute
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import (
+        as_dropout_rng,
+        cast_for_compute,
+    )
 
     @jax.jit
     def eval_step(params, batch: Dict[str, jnp.ndarray], rng: jax.Array):
@@ -106,7 +125,7 @@ def make_eval_step(model: FasterRCNN):
             batch["window"],
             rng,
             method=FasterRCNN.forward_train,
-            rngs={"dropout": rng},
+            rngs={"dropout": as_dropout_rng(rng)},
         )
 
     return eval_step

@@ -80,3 +80,23 @@ def test_drawing_smoke(tmp_path):
     gt7 = np.array([[30, 50, 1, 20, 10, 2, math.pi / 4]], np.float32)
     canvas = viz.draw_detections_bev(bev, dets7, gt7=gt7)
     assert canvas.shape == (100, 80, 3)
+
+
+def test_as_dropout_rng():
+    """rbg-backed dropout stream: deterministic per key, distinct across
+    fold_in steps, usable by flax Dropout-style bernoulli draws."""
+    import jax
+    import jax.numpy as jnp
+
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import as_dropout_rng
+
+    k = as_dropout_rng(jax.random.PRNGKey(0))
+    m1 = jax.random.bernoulli(jax.random.fold_in(k, 1), 0.5, (64,))
+    m1b = jax.random.bernoulli(jax.random.fold_in(k, 1), 0.5, (64,))
+    m2 = jax.random.bernoulli(jax.random.fold_in(k, 2), 0.5, (64,))
+    assert bool(jnp.all(m1 == m1b))
+    assert not bool(jnp.all(m1 == m2))
+    # distinct source keys -> distinct rbg streams
+    k2 = as_dropout_rng(jax.random.PRNGKey(1))
+    m3 = jax.random.bernoulli(jax.random.fold_in(k2, 1), 0.5, (64,))
+    assert not bool(jnp.all(m1 == m3))

@@ -51,7 +51,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from faster_rcnn_pytorch_multimodal_tpu.models.detector import FasterRCNN
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import (
+    FasterRCNN,
+    as_dropout_rng,
+)
     from faster_rcnn_pytorch_multimodal_tpu.ops.filter import (
         filter_detections,
         to_per_class_lists,
@@ -94,7 +97,8 @@ def main(argv=None):
 
     fwd = jax.jit(
         lambda p, d, w, key: model.apply(
-            p, d, w, method=FasterRCNN.forward_test, rngs={"dropout": key}
+            p, d, w, method=FasterRCNN.forward_test,
+            rngs={"dropout": as_dropout_rng(key)}
         )
     )
     out = fwd(params, data, window, jax.random.PRNGKey(1))
