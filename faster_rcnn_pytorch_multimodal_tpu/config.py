@@ -59,9 +59,11 @@ class UCConfig:
     e_num_sample: int = 10
     # MC samples evaluated per scan step at test time: the scan keeps peak
     # memory at one step's activations (a pure vmap over all e_num_sample
-    # OOMs at detection sizes), while vmapping a small chunk inside each
-    # step restores most of the lost parallelism.  1 = fully serialized.
-    e_mc_chunk: int = 2
+    # fails to compile at detection sizes), while vmapping a small chunk
+    # inside each step restores most of the lost parallelism.  1 = fully
+    # serialized.  Measured at T=10 b8 512x960 on v5e: chunk 2 = 17.3,
+    # chunk 5 = 18.5 f/s, chunk 10 = compile OOM.
+    e_mc_chunk: int = 5
     sort_type: str = ""
     # Bayesian CE formulation for aleatoric classification: 'full' (avg
     # softmax over distorted logits, ref loss_utils.py:149-169), 'simple'
