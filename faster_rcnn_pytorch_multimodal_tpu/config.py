@@ -240,6 +240,23 @@ class LidarConfig:
     num_bbox_elem: int = 7
     reg_loss_weight: Tuple[float, ...] = (1.0,) * 7
     en_ry_sin: bool = True
+    # Anchor densification (framework extension, absent upstream): tile
+    # anchor centers every feat_stride/substride voxels while features
+    # stay at feat_stride — the RPN head just predicts substride^2 x A
+    # anchors per cell.  At the reference geometry (stride 16, scale 0.5
+    # -> 0.2 m voxels) anchor centers sit 3.2 m apart and the best
+    # anchor-GT IoU for a car is ~0.28, below even the 0.3 negative
+    # threshold; the reference never hits this because its lidar training
+    # always preloads a full trained checkpoint (trainval_net.py:334-337).
+    # substride 4 (0.8 m spacing) gives best IoU ~0.6 and real fg anchor
+    # sets, enabling from-scratch BEV training (tools/diag_bev_overfit.py).
+    # Default 1 = exact reference anchor geometry.
+    anchor_substride: int = 1
+    # Lidar-specific RPN overlap thresholds (<= 0: use the global
+    # TRAIN.RPN_*_OVERLAP).  Rotated BEV boxes overlap axis-aligned
+    # anchors less than image boxes do; AVOD uses 0.45/0.3 for cars.
+    rpn_positive_overlap: float = -1.0
+    rpn_negative_overlap: float = -1.0
 
     @property
     def num_channel(self) -> int:
@@ -364,6 +381,7 @@ class Config:
             len(self.lidar.anchors)
             * len(self.lidar.anchor_scales)
             * len(self.lidar.anchor_angles)
+            * self.lidar.anchor_substride ** 2
         )
 
     @property

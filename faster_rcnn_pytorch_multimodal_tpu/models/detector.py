@@ -97,10 +97,18 @@ def build_anchor_grid(
     """
     stride = feat_stride(cfg)
     if cfg.net_type == "lidar":
+        # anchor densification (cfg.lidar.anchor_substride, see config.py):
+        # tile centers every stride/sub voxels on a (sub*H, sub*W) fine
+        # grid, then reorder lanes to (H, W, sub_y, sub_x, A) so they line
+        # up with the RPN conv's sub^2*A anchors-per-cell channel layout
+        sub = cfg.lidar.anchor_substride
+        assert stride % sub == 0, "anchor_substride must divide feat_stride"
+        fine_stride = stride // sub
+        fh, fw = feat_h * sub, feat_w * sub
         _, a3d = generate_3d_anchors(
-            feat_h,
-            feat_w,
-            stride,
+            fh,
+            fw,
+            fine_stride,
             anchor_sizes_lwh=cfg.lidar.anchors,
             anchor_scales=cfg.lidar.anchor_scales,
             anchor_rotations=cfg.lidar.anchor_angles,
@@ -109,17 +117,28 @@ def build_anchor_grid(
         )
         bev = anchors_3d_to_bev_aabb(a3d)
         # the 3D grid tiles (W*stride-1)/(H*stride-1) which can drop the last
-        # row/col vs the feature grid; pad to the full H*W*A lane count
-        a = cfg.num_anchors_3d
-        full = feat_h * feat_w * a
+        # row/col vs the feature grid; pad to the full fh*fw*A lane count
+        a = cfg.num_anchors_3d // (sub * sub)  # anchors per FINE cell
+        full = fh * fw * a
         if bev.shape[0] != full:
-            grid_w = int(np.ceil((feat_w * stride - 1) / stride))
-            grid_h = int(np.ceil((feat_h * stride - 1) / stride))
+            grid_w = int(np.ceil((fw * fine_stride - 1) / fine_stride))
+            grid_h = int(np.ceil((fh * fine_stride - 1) / fine_stride))
             bev = bev.reshape(grid_h, grid_w, a, 4)
             a3d = a3d.reshape(grid_h, grid_w, a, 7)
-            pad = ((0, feat_h - grid_h), (0, feat_w - grid_w), (0, 0), (0, 0))
+            pad = ((0, fh - grid_h), (0, fw - grid_w), (0, 0), (0, 0))
             bev = np.pad(bev, pad, mode="edge").reshape(full, 4)
             a3d = np.pad(a3d, pad, mode="edge").reshape(full, 7)
+        if sub > 1:
+            bev = (
+                bev.reshape(feat_h, sub, feat_w, sub, a, 4)
+                .transpose(0, 2, 1, 3, 4, 5)
+                .reshape(feat_h * feat_w * sub * sub * a, 4)
+            )
+            a3d = (
+                a3d.reshape(feat_h, sub, feat_w, sub, a, 7)
+                .transpose(0, 2, 1, 3, 4, 5)
+                .reshape(feat_h * feat_w * sub * sub * a, 7)
+            )
         return bev, a3d
 
     anchors, n = generate_anchors_pre(
@@ -135,13 +154,21 @@ def build_anchor_grid(
 
 def cast_for_compute(params, cfg: Config):
     """fp32 master params -> bf16 compute copies when cfg.compute_dtype is
-    bfloat16 (cast is linear, gradients flow back to the fp32 masters)."""
+    bfloat16 (cast is linear, gradients flow back to the fp32 masters).
+    Live-BN running statistics (the `batch_stats` collection, present only
+    when fixed_blocks == -1) are NOT cast: their momentum update reads the
+    stored value every step and a bf16 round-trip would inject ~0.4%
+    relative noise into the running averages."""
     if cfg.compute_dtype != "bfloat16":
         return params
-    return jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        params,
+    cast = lambda t: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
     )
+    if isinstance(params, dict) and "batch_stats" in params:
+        return {
+            k: (v if k == "batch_stats" else cast(v)) for k, v in params.items()
+        }
+    return cast(params)
 
 
 def as_dropout_rng(key: jax.Array) -> jax.Array:
@@ -345,6 +372,7 @@ class FasterRCNN(nn.Module):
                 dropout_en=dropout_en,
                 drop_rate=resnet_drop,
                 zero_init_residual=zir,
+                live_bn=zir,
                 remat=c.resnet.remat,
                 remat_stages=c.resnet.remat_stages,
             )
@@ -358,6 +386,7 @@ class FasterRCNN(nn.Module):
                 dropout_en=dropout_en,
                 drop_rate=resnet_drop,
                 zero_init_residual=zir,
+                live_bn=zir,
                 remat=c.resnet.remat,
                 remat_stages=c.resnet.remat_stages,
             )
@@ -366,6 +395,7 @@ class FasterRCNN(nn.Module):
                 dropout_en=dropout_en,
                 drop_rate=resnet_drop,
                 zero_init_residual=zir,
+                live_bn=zir,
             )
         self.rpn = RPNHead(rpn_channels=c.rpn_channels, num_anchors=c.num_anchors)
         if uc.en_rpn_bbox_aleatoric:
@@ -393,7 +423,12 @@ class FasterRCNN(nn.Module):
 
     # -- feature extraction -------------------------------------------------
 
-    def features(self, images: jnp.ndarray, deterministic: bool = True):
+    def features(
+        self,
+        images: jnp.ndarray,
+        deterministic: bool = True,
+        train: bool = False,
+    ):
         if jnp.issubdtype(images.dtype, jnp.integer):
             # loaders ship raw uint8 frames (4x smaller transfers); the
             # mean/std normalization runs here on device.  Float inputs are
@@ -403,11 +438,16 @@ class FasterRCNN(nn.Module):
             images = (images.astype(jnp.float32) - means) / stds
         if self.cfg.compute_dtype == "bfloat16":
             images = images.astype(jnp.bfloat16)
+        is_res = self.cfg.net_variant.startswith("res")
         if self.cfg.use_fpn:
-            c2, c3, c4, c5 = self.backbone(images, deterministic)
+            c2, c3, c4, c5 = self.backbone(images, deterministic, train)
             p2, p3, p4, p5 = self.fpn(c2, c3, c4, c5)
             return {"rpn": p2, "pyramid": (p2, p3, p4, p5)}
-        feat = self.backbone(images, deterministic)
+        feat = (
+            self.backbone(images, deterministic, train)
+            if is_res
+            else self.backbone(images, deterministic)
+        )
         return {"rpn": feat, "pyramid": None}
 
     # -- rpn ------------------------------------------------------------
@@ -441,6 +481,7 @@ class FasterRCNN(nn.Module):
         feats: Dict[str, Any],
         rois: jnp.ndarray,
         deterministic: bool = True,
+        train: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """Pool (B, S, 4) rois and run tail + predictors -> dict of (B, S, ·)."""
         c = self.cfg
@@ -462,8 +503,11 @@ class FasterRCNN(nn.Module):
             flat = pooled.reshape(b * s, -1)
             fc7 = self.tail(flat, deterministic)
         else:
-            tail_out = self.tail(
-                pooled.reshape(b * s, p, p, pooled.shape[-1]), deterministic
+            tail_in = pooled.reshape(b * s, p, p, pooled.shape[-1])
+            tail_out = (
+                self.tail(tail_in, deterministic, train)
+                if c.net_variant.startswith("res")
+                else self.tail(tail_in, deterministic)
             )
             # conv tails (resnet layer4) need the global avg pool; fc tails
             # (vgg16 fc6/7, mobilenet) already return flat features
@@ -571,7 +615,9 @@ class FasterRCNN(nn.Module):
             gt_bev = gt_boxes
             true_gt = jnp.zeros((b, g, 8))
 
-        feats = self.features(images, deterministic=not c.uc.any_epistemic)
+        feats = self.features(
+            images, deterministic=not c.uc.any_epistemic, train=True
+        )
         rpn_out = self.rpn_scores(feats["rpn"])
         rpn_out["anchors"] = self._anchors(feats["rpn"], scale_idx=scale_idx)
         anchors_bev, anchors_3d = rpn_out["anchors"]
@@ -579,13 +625,23 @@ class FasterRCNN(nn.Module):
         rng_at, rng_pt, rng_cls = jax.random.split(rng, 3)
 
         # --- RPN targets (vmapped per frame) ---
+        # lidar-specific overlap thresholds when set (> 0): rotated BEV
+        # boxes overlap AABB anchors less than image boxes (config.py
+        # LidarConfig.rpn_*_overlap rationale)
+        pos_ov = c.train.rpn_positive_overlap
+        neg_ov = c.train.rpn_negative_overlap
+        if is_lidar:
+            if c.lidar.rpn_positive_overlap > 0:
+                pos_ov = c.lidar.rpn_positive_overlap
+            if c.lidar.rpn_negative_overlap > 0:
+                neg_ov = c.lidar.rpn_negative_overlap
         at = jax.vmap(
             partial(
                 anchor_target,
                 rpn_batchsize=c.train.rpn_batchsize,
                 fg_fraction=c.train.rpn_fg_fraction,
-                positive_overlap=c.train.rpn_positive_overlap,
-                negative_overlap=c.train.rpn_negative_overlap,
+                positive_overlap=pos_ov,
+                negative_overlap=neg_ov,
                 clobber_positives=c.train.rpn_clobber_positives,
             ),
             in_axes=(None, 0, 0, 0, 0),
@@ -712,7 +768,10 @@ class FasterRCNN(nn.Module):
 
         if c.enable_full_net:
             det = self.roi_head(
-                feats, pt.rois[..., 1:5], deterministic=not c.uc.any_epistemic
+                feats,
+                pt.rois[..., 1:5],
+                deterministic=not c.uc.any_epistemic,
+                train=True,
             )
             s = c.train.roi_batch_size
             cls_score = det["cls_score"].reshape(b * s, -1)

@@ -11,8 +11,17 @@ BatchNorm is implemented as FrozenBatchNorm (affine transform with stored
 running stats).  The reference freezes BN for every FIXED_BLOCKS setting
 except -1 (ref imagenet.py:96-163: set_bn_fix + eval-mode BN), so frozen BN
 is the production behavior; it also removes cross-device batch statistics
-from the TPU data-parallel path entirely.  With FIXED_BLOCKS == -1 the BN
-affine pair trains (training/optim.py:44-47) while the stats stay frozen.
+from the TPU data-parallel path entirely.  With FIXED_BLOCKS == -1 the
+reference instead runs BN in TRAIN mode (set_bn_var + set_bn_train,
+imagenet.py:110-111, 157-158): live batch statistics + trainable affine.
+`live_bn=True` reproduces that: normalization uses the current batch's
+mean/var (running averages, kept in the `batch_stats` collection, are
+momentum-updated for eval).  This is the from-scratch enabler — without
+live stats the sparse-BEV activations stay at ~0.02 std and RPN logit
+gradients are too small to separate fg from bg (tools/diag_bev_overfit.py).
+Under jit over a sharded batch, jnp.mean reduces over the GLOBAL batch
+(XLA inserts the collective), so data-parallel training gets synchronized
+BN for free — stronger than torch's per-device statistics.
 
 `zero_init_residual` (residual-terminator BN scale initialized to zero, the
 torchvision trick that keeps from-scratch deep-resnet activations bounded)
@@ -50,21 +59,54 @@ class FrozenBatchNorm(nn.Module):
 
     Parameters are stored under the same names a converted torch checkpoint
     provides (scale/bias/mean/var); the optimizer masks them out.
+
+    With `live=True` (fixed_blocks == -1, ref imagenet.py:110-111 set_bn_var
+    + set_bn_train) this becomes torch-train-mode BN: `use_batch_stats=True`
+    normalizes with the CURRENT batch's statistics (gradients flow through
+    them) and momentum-updates running averages stored in the `batch_stats`
+    collection; `use_batch_stats=False` (eval) normalizes with the running
+    averages.  Checkpoint converters target the frozen layout — preloading
+    into a live-BN model needs the stats mapped into `batch_stats` instead
+    of `params` (from-scratch training, the live use case, never preloads).
     """
 
     features: int
     eps: float = 1e-5
     zero_scale: bool = False  # zero-init (residual-branch terminator)
+    live: bool = False
+    momentum: float = 0.1  # torch nn.BatchNorm2d default
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, use_batch_stats: bool = False
+    ) -> jnp.ndarray:
         scale_init = (
             nn.initializers.zeros if self.zero_scale else nn.initializers.ones
         )
         scale = self.param("scale", scale_init, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = self.param("mean", nn.initializers.zeros, (self.features,))
-        var = self.param("var", nn.initializers.ones, (self.features,))
+        if not self.live:
+            mean = self.param("mean", nn.initializers.zeros, (self.features,))
+            var = self.param("var", nn.initializers.ones, (self.features,))
+        else:
+            ra_mean = self.variable(
+                "batch_stats", "mean", jnp.zeros, (self.features,)
+            )
+            ra_var = self.variable(
+                "batch_stats", "var", jnp.ones, (self.features,)
+            )
+            if use_batch_stats and not self.is_initializing():
+                xf = x.astype(jnp.float32).reshape(-1, self.features)
+                mean = jnp.mean(xf, axis=0)
+                var = jnp.var(xf, axis=0)
+                if self.is_mutable_collection("batch_stats"):
+                    n = xf.shape[0]
+                    unbiased = var * (n / max(n - 1, 1))
+                    m = self.momentum
+                    ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                    ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+            else:
+                mean, var = ra_mean.value, ra_var.value
         inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.eps)
         y = (x.astype(jnp.float32) - mean.astype(jnp.float32)) * (
             inv * scale.astype(jnp.float32)
@@ -96,23 +138,28 @@ class Bottleneck(nn.Module):
     drop_rate: float = 0.0
     batchnorm_en: bool = True
     zero_init_residual: bool = False
+    live_bn: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True, train: bool = False
+    ) -> jnp.ndarray:
+        bn = dict(live=self.live_bn)
+        ubs = train and self.live_bn
         s1 = self.stride if self.caffe_stride else 1
         s2 = 1 if self.caffe_stride else self.stride
         identity = x
 
         out = _conv(self.planes, 1, s1, name="conv1")(x)
         if self.batchnorm_en:
-            out = FrozenBatchNorm(self.planes, name="bn1")(out)
+            out = FrozenBatchNorm(self.planes, name="bn1", **bn)(out, ubs)
         out = nn.relu(out)
         if self.dropout_en:
             out = nn.Dropout(self.drop_rate, name="drop1")(out, deterministic)
 
         out = _conv(self.planes, 3, s2, name="conv2")(out)
         if self.batchnorm_en:
-            out = FrozenBatchNorm(self.planes, name="bn2")(out)
+            out = FrozenBatchNorm(self.planes, name="bn2", **bn)(out, ubs)
         out = nn.relu(out)
         if self.dropout_en:
             # Dropout2d: drop whole channels (broadcast over H, W)
@@ -127,17 +174,18 @@ class Bottleneck(nn.Module):
             # activation variance per block (2^33 for res101) and
             # from-scratch training NaNs on the first step.
             out = FrozenBatchNorm(
-                self.planes * 4, zero_scale=self.zero_init_residual, name="bn3"
-            )(out)
+                self.planes * 4, zero_scale=self.zero_init_residual,
+                name="bn3", **bn
+            )(out, ubs)
 
         if self.has_downsample:
             identity = _conv(
                 self.planes * 4, 1, self.downsample_stride, name="downsample_conv"
             )(x)
             if self.batchnorm_en:
-                identity = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(
-                    identity
-                )
+                identity = FrozenBatchNorm(
+                    self.planes * 4, name="downsample_bn", **bn
+                )(identity, ubs)
 
         out = nn.relu(out + identity)
         if self.dropout_en:
@@ -152,20 +200,27 @@ class BasicBlock(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     zero_init_residual: bool = False
+    live_bn: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True, train: bool = False
+    ) -> jnp.ndarray:
+        bn = dict(live=self.live_bn)
+        ubs = train and self.live_bn
         identity = x
         out = _conv(self.planes, 3, self.stride, name="conv1")(x)
-        out = FrozenBatchNorm(self.planes, name="bn1")(out)
+        out = FrozenBatchNorm(self.planes, name="bn1", **bn)(out, ubs)
         out = nn.relu(out)
         out = _conv(self.planes, 3, 1, name="conv2")(out)
         out = FrozenBatchNorm(
-            self.planes, zero_scale=self.zero_init_residual, name="bn2"
-        )(out)
+            self.planes, zero_scale=self.zero_init_residual, name="bn2", **bn
+        )(out, ubs)
         if self.has_downsample:
             identity = _conv(self.planes, 1, self.stride, name="downsample_conv")(x)
-            identity = FrozenBatchNorm(self.planes, name="downsample_bn")(identity)
+            identity = FrozenBatchNorm(
+                self.planes, name="downsample_bn", **bn
+            )(identity, ubs)
         return nn.relu(out + identity)
 
 
@@ -181,9 +236,12 @@ class ResStage(nn.Module):
     drop_rate: float = 0.0
     batchnorm_en: bool = True
     zero_init_residual: bool = False
+    live_bn: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True, train: bool = False
+    ) -> jnp.ndarray:
         expansion = 1 if self.basic else 4
         for i in range(self.num_blocks):
             stride = self.stride if i == 0 else 1
@@ -196,8 +254,9 @@ class ResStage(nn.Module):
                     stride,
                     has_downsample=needs_ds,
                     zero_init_residual=self.zero_init_residual,
+                    live_bn=self.live_bn,
                     name=f"block{i}",
-                )(x, deterministic)
+                )(x, deterministic, train)
             else:
                 x = Bottleneck(
                     self.planes,
@@ -209,8 +268,9 @@ class ResStage(nn.Module):
                     drop_rate=self.drop_rate,
                     batchnorm_en=self.batchnorm_en,
                     zero_init_residual=self.zero_init_residual,
+                    live_bn=self.live_bn,
                     name=f"block{i}",
-                )(x, deterministic)
+                )(x, deterministic, train)
         return x
 
 
@@ -218,7 +278,7 @@ class ResStage(nn.Module):
 # activations from its input instead of storing them — the standard TPU
 # HBM/FLOPs trade (a res101 fp32 backward at detection resolutions
 # otherwise overflows a v5e's 16 GB HBM).
-RematResStage = nn.remat(ResStage, static_argnums=(2,))
+RematResStage = nn.remat(ResStage, static_argnums=(2, 3))
 
 
 class ResNetStem(nn.Module):
@@ -226,8 +286,10 @@ class ResNetStem(nn.Module):
     adapt automatically to the input (3 for RGB, cfg.lidar.num_channel=15
     for BEV rasters, ref lidarnet.py:107)."""
 
+    live_bn: bool = False
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Conv(
             64,
             (7, 7),
@@ -236,7 +298,9 @@ class ResNetStem(nn.Module):
             use_bias=False,
             name="conv1",
         )(x)
-        x = FrozenBatchNorm(64, name="bn1")(x)
+        x = FrozenBatchNorm(64, name="bn1", live=self.live_bn)(
+            x, train and self.live_bn
+        )
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         return x
@@ -251,11 +315,14 @@ class ResNetC4(nn.Module):
     drop_rate: float = 0.0
     batchnorm_en: bool = True
     zero_init_residual: bool = False
+    live_bn: bool = False
     remat: bool = True
     remat_stages: Tuple[int, ...] = (1, 2)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True, train: bool = False
+    ) -> jnp.ndarray:
         blocks = STAGE_BLOCKS[self.num_layers]
         basic = self.num_layers in BASIC_DEPTHS
         kw: dict[str, Any] = dict(
@@ -264,6 +331,7 @@ class ResNetC4(nn.Module):
             drop_rate=self.drop_rate,
             batchnorm_en=self.batchnorm_en,
             zero_init_residual=self.zero_init_residual,
+            live_bn=self.live_bn,
         )
 
         def stage(idx: int):
@@ -273,13 +341,13 @@ class ResNetC4(nn.Module):
                 else ResStage
             )
 
-        x = ResNetStem(name="stem")(x)
-        x = stage(1)(64, blocks[0], 1, name="layer1", **kw)(x, deterministic)
+        x = ResNetStem(live_bn=self.live_bn, name="stem")(x, train)
+        x = stage(1)(64, blocks[0], 1, name="layer1", **kw)(x, deterministic, train)
         x = stage(2)(128, blocks[1], 2, caffe_stride=True, name="layer2", **kw)(
-            x, deterministic
+            x, deterministic, train
         )
         x = stage(3)(256, blocks[2], 2, caffe_stride=True, name="layer3", **kw)(
-            x, deterministic
+            x, deterministic, train
         )
         return x
 
@@ -293,9 +361,12 @@ class ResNetLayer4(nn.Module):
     drop_rate: float = 0.0
     batchnorm_en: bool = True
     zero_init_residual: bool = False
+    live_bn: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True, train: bool = False
+    ) -> jnp.ndarray:
         blocks = STAGE_BLOCKS[self.num_layers]
         return ResStage(
             512,
@@ -306,8 +377,9 @@ class ResNetLayer4(nn.Module):
             drop_rate=self.drop_rate,
             batchnorm_en=self.batchnorm_en,
             zero_init_residual=self.zero_init_residual,
+            live_bn=self.live_bn,
             name="layer4",
-        )(x, deterministic)
+        )(x, deterministic, train)
 
 
 class ResNetPyramid(nn.Module):
@@ -318,12 +390,13 @@ class ResNetPyramid(nn.Module):
     drop_rate: float = 0.0
     batchnorm_en: bool = True
     zero_init_residual: bool = False
+    live_bn: bool = False
     remat: bool = True
     remat_stages: Tuple[int, ...] = (1, 2)
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, deterministic: bool = True
+        self, x: jnp.ndarray, deterministic: bool = True, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         blocks = STAGE_BLOCKS[self.num_layers]
         basic = self.num_layers in BASIC_DEPTHS
@@ -333,6 +406,7 @@ class ResNetPyramid(nn.Module):
             drop_rate=self.drop_rate,
             batchnorm_en=self.batchnorm_en,
             zero_init_residual=self.zero_init_residual,
+            live_bn=self.live_bn,
         )
 
         def stage(idx: int):
@@ -342,13 +416,13 @@ class ResNetPyramid(nn.Module):
                 else ResStage
             )
 
-        x = ResNetStem(name="stem")(x)
-        c2 = stage(1)(64, blocks[0], 1, name="layer1", **kw)(x, deterministic)
+        x = ResNetStem(live_bn=self.live_bn, name="stem")(x, train)
+        c2 = stage(1)(64, blocks[0], 1, name="layer1", **kw)(x, deterministic, train)
         c3 = stage(2)(128, blocks[1], 2, caffe_stride=True, name="layer2", **kw)(
-            c2, deterministic
+            c2, deterministic, train
         )
         c4 = stage(3)(256, blocks[2], 2, caffe_stride=True, name="layer3", **kw)(
-            c3, deterministic
+            c3, deterministic, train
         )
-        c5 = stage(4)(512, blocks[3], 2, name="layer4", **kw)(c4, deterministic)
+        c5 = stage(4)(512, blocks[3], 2, name="layer4", **kw)(c4, deterministic, train)
         return c2, c3, c4, c5

@@ -55,7 +55,10 @@ def make_train_step(model: FasterRCNN, optimizer: optax.GradientTransformation):
         params = jax.tree.map(
             lambda p, m: jax.lax.stop_gradient(p) if m else p, params, froz
         )
-        losses = model.apply(
+        # mutable batch_stats: live-BN running averages (fixed_blocks == -1,
+        # resnet.py FrozenBatchNorm live mode) update as a side output; for
+        # frozen-BN configs the collection is absent and `mutated` is empty
+        losses, mutated = model.apply(
             cast_for_compute(params, model.cfg),
             batch["data"],
             batch["gt_boxes"],
@@ -67,17 +70,21 @@ def make_train_step(model: FasterRCNN, optimizer: optax.GradientTransformation):
             batch.get("scale_idx"),
             method=FasterRCNN.forward_train,
             rngs={"dropout": as_dropout_rng(jax.random.fold_in(rng, 1))},
+            mutable=["batch_stats"],
         )
-        return losses["total_loss"], losses
+        return losses["total_loss"], (losses, mutated)
 
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
-        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (_, (losses, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, step_rng
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if "batch_stats" in mutated:
+            params = dict(params)
+            params["batch_stats"] = mutated["batch_stats"]
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, losses
 

@@ -89,6 +89,107 @@ def test_lidar_train_step_runs():
     assert float(losses["rpn_cross_entropy"]) > 0
 
 
+def test_lidar_anchor_substride():
+    """LIDAR.ANCHOR_SUBSTRIDE=s tiles anchor centers every feat_stride/s
+    voxels (framework extension enabling from-scratch BEV training; the
+    reference anchor geometry at stride 16 caps anchor-GT IoU at ~0.28
+    and upstream always preloads a trained checkpoint instead,
+    ref tools/trainval_net.py:334-337).  Lane order must be
+    (H, W, sub_y, sub_x, A) to match the RPN conv's per-cell channels."""
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import build_anchor_grid
+
+    base = _lidar_cfg()
+    cfg = cfg_from_list(base, ("LIDAR.ANCHOR_SUBSTRIDE", "4"))
+    sub, fh, fw = 4, 6, 8
+    a_base = base.num_anchors_3d
+    assert cfg.num_anchors_3d == a_base * sub * sub
+
+    bev, a3d = build_anchor_grid(cfg, fh, fw, 1.0)
+    assert bev.shape == (fh * fw * sub * sub * a_base, 4)
+    assert a3d.shape == (fh * fw * sub * sub * a_base, 7)
+
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import feat_stride
+
+    stride = feat_stride(cfg)
+    fine = stride // sub
+    g = bev.reshape(fh, fw, sub, sub, a_base, 4)
+    cx = (g[..., 0] + g[..., 2]) / 2
+    cy = (g[..., 1] + g[..., 3]) / 2
+    # sub_x axis advances x centers by the fine stride, sub_y advances y
+    np.testing.assert_allclose(np.diff(cx, axis=3), fine, atol=1e-4)
+    np.testing.assert_allclose(np.diff(cy, axis=2), fine, atol=1e-4)
+    # coarse W/H axes advance by the full feature stride (interior cells;
+    # edge cells are pad-replicated by the grid builder)
+    np.testing.assert_allclose(np.diff(cx[:, :-1], axis=1), stride, atol=1e-4)
+    np.testing.assert_allclose(np.diff(cy[:-1], axis=0), stride, atol=1e-4)
+    # substride=1 grid is an exact subsample: its lanes equal the
+    # (sub_y=0, sub_x=0) fine lanes
+    bev1, _ = build_anchor_grid(base, fh, fw, 1.0)
+    g1 = bev1.reshape(fh, fw, a_base, 4)
+    np.testing.assert_allclose(g[:-1, :-1, 0, 0], g1[:-1, :-1], atol=1e-4)
+
+    # a full train step runs with the widened RPN head
+    ds = SyntheticDataset(cfg, num_frames=2, num_classes=2)
+    loader = BatchLoader(ds, cfg, batch_size=1, seed=1)
+    model = FasterRCNN(cfg=cfg, num_classes=2)
+    rng = jax.random.PRNGKey(0)
+    state, opt = create_train_state(model, cfg, rng, loader.peek())
+    step = make_train_step(model, opt)
+    state, losses = step(
+        state, {k: jnp.asarray(v) for k, v in loader.next().items()}, rng
+    )
+    assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_live_bn_from_scratch():
+    """FIXED_BLOCKS == -1 must run BN in train mode like the reference
+    (imagenet.py:110-111, 157-158 set_bn_var + set_bn_train): batch-stat
+    normalization with momentum-updated running averages in the
+    `batch_stats` collection.  Live stats are the from-scratch enabler —
+    see resnet.py FrozenBatchNorm and tools/diag_bev_overfit.py."""
+    cfg = cfg_from_list(_image_cfg(), ("RESNET.FIXED_BLOCKS", "-1"))
+    ds = SyntheticDataset(cfg, num_frames=2, num_classes=2, image_hw=(64, 96))
+    loader = BatchLoader(ds, cfg, batch_size=2, seed=0)
+    model = FasterRCNN(cfg=cfg, num_classes=2)
+    rng = jax.random.PRNGKey(0)
+    state, opt = create_train_state(model, cfg, rng, loader.peek())
+
+    assert "batch_stats" in state.params, "live BN must own a batch_stats collection"
+    # frozen-BN mean/var params must NOT exist alongside
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in path)
+        for path, _ in jax.tree_util.tree_leaves_with_path(state.params["params"])
+    }
+    assert not any(p.endswith("/mean") or p.endswith("/var") for p in flat)
+
+    before = [np.asarray(x) for x in jax.tree.leaves(state.params["batch_stats"])]
+    step = make_train_step(model, opt)
+    batch = {k: jnp.asarray(v) for k, v in loader.next().items()}
+    state, losses = step(state, batch, rng)
+    assert np.isfinite(float(losses["total_loss"]))
+    after = [np.asarray(x) for x in jax.tree.leaves(state.params["batch_stats"])]
+    moved = sum(not np.allclose(b, a) for b, a in zip(before, after))
+    assert moved > 0, "train step must momentum-update the running stats"
+    # a second step must run too (stable pytree structure across steps)
+    state, _ = step(state, batch, rng)
+
+    # eval path (forward_test) consumes the running averages without error
+    out = model.apply(
+        state.params,
+        batch["data"],
+        batch["window"],
+        method=FasterRCNN.forward_test,
+        rngs={"dropout": rng},
+    )
+    assert np.isfinite(np.asarray(out["cls_prob"]).sum())
+
+    # default (fixed_blocks >= 0) configs keep the frozen layout
+    cfg0 = _image_cfg()
+    model0 = FasterRCNN(cfg=cfg0, num_classes=2)
+    state0, _ = create_train_state(model0, cfg0, rng, loader.peek())
+    assert "batch_stats" not in state0.params
+
+
 def test_frozen_mask_policy():
     cfg = _image_cfg()
     ds = SyntheticDataset(cfg, num_frames=2, num_classes=2, image_hw=(64, 96))

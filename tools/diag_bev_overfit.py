@@ -29,7 +29,7 @@ if "JAX_PLATFORMS" not in os.environ:
     os.environ["JAX_PLATFORMS"] = "cpu"
 
 
-def build_cfg(net: str):
+def build_cfg(net: str, substride: int = 1, pos: float = -1.0, neg: float = -1.0):
     from faster_rcnn_pytorch_multimodal_tpu.config import (
         cfg_from_list,
         default_config,
@@ -41,12 +41,16 @@ def build_cfg(net: str):
             "NET_TYPE", "lidar",
             "NET_VARIANT", net,
             "TRAIN.SCALES", "(0.5,)",
+            "TEST.SCALES", "(0.5,)",  # eval on the SAME frozen frame
             "TRAIN.RPN_POST_NMS_TOP_N", "512",
             "STATIC.NMS_PRE_TRAIN", "1024",
             "STATIC.MAX_GT", "16",
             "STATIC.MAX_POINTS", "16384",
             "RESNET.FIXED_BLOCKS", "-1",  # from scratch: BN must train
             "DEBUG.FREEZE_DB", "True",
+            "LIDAR.ANCHOR_SUBSTRIDE", str(substride),
+            "LIDAR.RPN_POSITIVE_OVERLAP", str(pos),
+            "LIDAR.RPN_NEGATIVE_OVERLAP", str(neg),
         ),
     )
 
@@ -57,6 +61,9 @@ def main():
     ap.add_argument("--eval_every", type=int, default=100)
     ap.add_argument("--net", default="res18")
     ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--substride", type=int, default=1)
+    ap.add_argument("--pos", type=float, default=-1.0)
+    ap.add_argument("--neg", type=float, default=-1.0)
     args = ap.parse_args()
 
     import jax
@@ -82,9 +89,11 @@ def main():
         make_train_step,
     )
 
-    cfg = build_cfg(args.net)
+    cfg = build_cfg(args.net, args.substride, args.pos, args.neg)
     if args.lr is not None:
-        cfg = cfg.replace(train=cfg.train.replace(learning_rate=args.lr))
+        from faster_rcnn_pytorch_multimodal_tpu.config import cfg_from_list
+
+        cfg = cfg_from_list(cfg, ("TRAIN.LEARNING_RATE", str(args.lr)))
     ds = SyntheticDataset(cfg, num_frames=8, num_classes=2, seed=0)
     loader = BatchLoader(ds, cfg, batch_size=1, seed=0, augment=False)
     batch = {k: jnp.asarray(v) for k, v in loader.next().items()}
@@ -117,7 +126,13 @@ def main():
             f"  anchor[{i}] wh=({a[2] - a[0]:.1f},{a[3] - a[1]:.1f})"
         )
     iou = np.asarray(bbox_overlaps(jnp.asarray(anchors_bev), jnp.asarray(gt_bev)))
-    pos, neg = cfg.train.rpn_positive_overlap, cfg.train.rpn_negative_overlap
+    pos = cfg.lidar.rpn_positive_overlap
+    if pos <= 0:
+        pos = cfg.train.rpn_positive_overlap
+    neg_t = cfg.lidar.rpn_negative_overlap
+    if neg_t <= 0:
+        neg_t = cfg.train.rpn_negative_overlap
+    neg = neg_t
     for i in range(n_gt):
         col = iou[:, i]
         print(
@@ -138,7 +153,7 @@ def main():
         rpn_batchsize=cfg.train.rpn_batchsize,
         fg_fraction=cfg.train.rpn_fg_fraction,
         positive_overlap=pos,
-        negative_overlap=neg,
+        negative_overlap=neg_t,
         clobber_positives=cfg.train.rpn_clobber_positives,
     )
     labels = np.asarray(at.labels)
@@ -160,6 +175,31 @@ def main():
         )
     )
 
+    from faster_rcnn_pytorch_multimodal_tpu.evaluation.eval_utils import ap as ap_fn
+    from faster_rcnn_pytorch_multimodal_tpu.ops.filter import filter_detections
+
+    def ap05(dets_bev: np.ndarray, scores: np.ndarray) -> float:
+        """Single-frame ranked AP@0.5 (BEV AABB IoU) for class 1."""
+        if dets_bev.shape[0] == 0:
+            return 0.0
+        order = np.argsort(-scores)
+        taken = np.zeros(n_gt, bool)
+        tp = np.zeros(len(order))
+        for r, d in enumerate(order):
+            ious = np.asarray(
+                bbox_overlaps(
+                    jnp.asarray(dets_bev[d : d + 1]), jnp.asarray(gt_bev)
+                )
+            )[0]
+            j = int(ious.argmax())
+            if ious[j] >= 0.5 and not taken[j]:
+                taken[j] = True
+                tp[r] = 1.0
+        fp = 1.0 - tp
+        rec = np.cumsum(tp) / max(n_gt, 1)
+        prec = np.cumsum(tp) / np.maximum(np.cumsum(tp) + np.cumsum(fp), 1e-9)
+        return float(ap_fn(rec, prec))
+
     def recall(params):
         out = fwd(params, raster, batch["window"])
         rois = np.asarray(out["rois"][0])  # (P, 4) BEV
@@ -167,13 +207,33 @@ def main():
             bbox_overlaps(jnp.asarray(rois), jnp.asarray(gt_bev))
         )
         best = iou_p.max(axis=0)
-        return float((best >= 0.5).mean()), best
+        # final-detection AP@0.5 (class 1) through the real filter path
+        filt = filter_detections(
+            out["cls_prob"][0],
+            out["bbox_pred"][0],
+            out["roi_valid"][0],
+            num_classes=2,
+            bbox_elem=7,
+            max_dets=cfg.test.max_dets,
+            thresh=0.0,
+            nms_thresh=cfg.test.nms_thresh,
+            is_lidar=True,
+        )
+        keep = np.asarray(filt["valid"][1]).astype(bool)
+        boxes7 = np.asarray(filt["boxes"][1])[keep]
+        scores = np.asarray(filt["scores"][1])[keep]
+        dets_bev = (
+            np.asarray(bbox_3d_to_bev_aabb(jnp.asarray(boxes7)))
+            if boxes7.shape[0]
+            else np.zeros((0, 4))
+        )
+        return float((best >= 0.5).mean()), best, ap05(dets_bev, scores)
 
     print(f"\n=== C. overfit {args.iters} iters (lr={cfg.train.learning_rate}) ===")
     for it in range(1, args.iters + 1):
         state, losses = step(state, batch, rng)
         if it % args.eval_every == 0 or it == 1:
-            r, best = recall(state.params)
+            r, best, ap = recall(state.params)
             ls = {k: float(v) for k, v in losses.items()}
             print(
                 f"  iter {it:4d} total={ls['total_loss']:.4f}"
@@ -181,6 +241,7 @@ def main():
                 f" rpn_box={ls['rpn_loss_box']:.4f}"
                 f" ce={ls['cross_entropy']:.4f} box={ls['loss_box']:.4f}"
                 f" | RPN recall@0.5 {r:.2f}"
+                f" mAP@0.5 {ap:.3f}"
                 f" (per-gt best IoU {np.round(best, 2)})"
             )
     print("\ndone")
