@@ -5,10 +5,10 @@ Prints ONE JSON line:
 
 `value` is the mean of the image-config and BEV-config train throughputs
 (the driver metric is "frames/sec/chip (res101 image+BEV)"); the other
-BASELINE.json configs (FPN-multiscale, uncertainty train/MC-test, BEV+UC)
-ride along as extra keys.  ALL configs run by default so the driver-run
-JSON captures the full surface; set BENCH_CONFIG=image/bev/fpn/uc/both to
-run a subset.
+BASELINE.json configs (FPN-multiscale, RPN-only stage, uncertainty
+train/MC-test, BEV+UC) ride along as extra keys.  ALL configs run by
+default so the driver-run JSON captures the full surface; set
+BENCH_CONFIG=image/bev/fpn/rpn/uc/both to run a subset.
 
 Baseline note: the reference publishes no throughput numbers (BASELINE.md).
 `REFERENCE_FPS` is a documented estimate of its single-GPU TRAINING
@@ -162,6 +162,14 @@ def fpn_config():
     )
 
 
+def rpn_only_config():
+    """RPN-only training stage (--en_full_net 0, BASELINE.json config list;
+    ref trainval_net.py en_full_net flag / train_val.py:424-435)."""
+    from faster_rcnn_pytorch_multimodal_tpu.config import cfg_from_list
+
+    return cfg_from_list(image_config(), ("ENABLE_FULL_NET", "False"))
+
+
 def bev_uncertainty_config():
     from faster_rcnn_pytorch_multimodal_tpu.config import cfg_from_list
 
@@ -191,6 +199,10 @@ def main():
     if which in ("fpn", "all"):
         extras["fpn_fps"] = round(
             _throughput(fpn_config(), dict(num_classes=2, image_hw=(512, 960))), 2
+        )
+    if which in ("rpn", "all"):
+        extras["rpn_fps"] = round(
+            _throughput(rpn_only_config(), dict(num_classes=2, image_hw=(512, 960))), 2
         )
     if which in ("uc", "all"):
         ucfg = uncertainty_config()

@@ -257,11 +257,17 @@ def _mc_roi_head_chunk(mdl: "FasterRCNN", carry, xs):
     vmaps a chunk of cfg.uc.e_mc_chunk samples (distinct dropout rngs from
     the lifted vmap), bounding peak memory at one CHUNK's activations while
     recovering chunk-way parallelism.  Replaces the reference's
-    set_e_num_sample python loop (ref test.py:73-77)."""
-    feats, rois = carry
+    set_e_num_sample python loop (ref test.py:73-77).
+
+    RoI pooling is deterministic given (feats, rois) — identical for every
+    MC sample — so the caller pools ONCE and the carry holds the pooled
+    features; only the dropout-bearing tail + predictors re-run per sample
+    (saves T-1 RoI-aligns per step vs round 2's full roi_head body)."""
+    pooled, rois = carry
+    b, s = rois.shape[0], rois.shape[1]
 
     def one(m: "FasterRCNN", _z):
-        return m.roi_head(feats, rois, deterministic=False)
+        return m.pooled_head(pooled, b, s, deterministic=False)
 
     out = nn.vmap(
         one,
@@ -476,6 +482,24 @@ class FasterRCNN(nn.Module):
 
     # -- roi head ---------------------------------------------------------
 
+    def pool_rois(
+        self, feats: Dict[str, Any], rois: jnp.ndarray
+    ) -> jnp.ndarray:
+        """RoI-align (B, S, 4) rois from the feature map(s).  Pure op — no
+        params, no dropout — so MC-dropout sampling pools once and shares
+        the result across samples (see _mc_roi_head_chunk)."""
+        c = self.cfg
+        p = c.pooling_size
+        if c.use_fpn and c.pooling_mode == "multiscale":
+            pyramid = feats["pyramid"]
+            strides = (4, 8, 16, 32)
+            return multiscale_roi_align_batched(
+                pyramid, rois, strides, output_size=p
+            )
+        feat = feats["rpn"]
+        scale = 1.0 / feat_stride(c)
+        return roi_align_batched(feat, rois, scale, output_size=p)
+
     def roi_head(
         self,
         feats: Dict[str, Any],
@@ -484,21 +508,21 @@ class FasterRCNN(nn.Module):
         train: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """Pool (B, S, 4) rois and run tail + predictors -> dict of (B, S, ·)."""
+        pooled = self.pool_rois(feats, rois)
+        b, s = rois.shape[0], rois.shape[1]
+        return self.pooled_head(pooled, b, s, deterministic, train)
+
+    def pooled_head(
+        self,
+        pooled: jnp.ndarray,
+        b: int,
+        s: int,
+        deterministic: bool = True,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Tail + predictors over already-pooled RoI features."""
         c = self.cfg
         p = c.pooling_size
-
-        if c.use_fpn and c.pooling_mode == "multiscale":
-            pyramid = feats["pyramid"]
-            strides = (4, 8, 16, 32)
-            pooled = multiscale_roi_align_batched(
-                pyramid, rois, strides, output_size=p
-            )
-        else:
-            feat = feats["rpn"]
-            scale = 1.0 / feat_stride(c)
-            pooled = roi_align_batched(feat, rois, scale, output_size=p)
-
-        b, s = rois.shape[0], rois.shape[1]
         if c.use_fpn:
             flat = pooled.reshape(b * s, -1)
             fc7 = self.tail(flat, deterministic)
@@ -939,8 +963,9 @@ class FasterRCNN(nn.Module):
             # dropout rng splits per sample — one traced tail instead of T
             # unrolled copies, with one chunk's peak memory (see
             # _mc_roi_head_chunk)
+            pooled = self.pool_rois(feats, rois)
             det = _chunked_mc_scan(
-                self, _mc_roi_head_chunk, (feats, rois), t, uc.e_mc_chunk
+                self, _mc_roi_head_chunk, (pooled, rois), t, uc.e_mc_chunk
             )  # dict of (T, B, S, ·)
         else:
             det = jax.tree.map(

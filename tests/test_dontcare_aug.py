@@ -69,7 +69,7 @@ def _fake_image_ds(n=4, with_dc=True):
         def __len__(self):
             return n
 
-        def frame(self, i, augment=False, rng=None):
+        def frame(self, i, augment=False, rng=None, scale=None):
             f = {
                 "data": np.zeros((64, 96, 3), np.float32),
                 "gt_boxes": np.array([[4, 4, 20, 20, 1.0]], np.float32),
