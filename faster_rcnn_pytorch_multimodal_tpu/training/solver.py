@@ -248,26 +248,34 @@ class Solver:
         (load_pretrained_full)."""
         import orbax.checkpoint as ocp
 
+        from faster_rcnn_pytorch_multimodal_tpu.utils.convert import (
+            reconcile_bn_stats,
+        )
+
+        # raw restore + BN-stat reconciliation: a frozen-BN checkpoint
+        # preloads into a live-BN model (stats -> batch_stats) and vice
+        # versa, matching torch where running stats are ordinary state-dict
+        # entries at every FIXED_BLOCKS setting
         with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
-            restored = ckptr.restore(
-                os.path.abspath(path),
-                args=ocp.args.PyTreeRestore(
-                    {"state": {"params": jax.device_get(state.params)}},
-                    partial_restore=True,
-                ),
-            )
-        loaded = restored["state"]["params"]["params"]
-        own = jax.device_get(state.params)["params"]
+            raw = ckptr.restore(os.path.abspath(path))
+        own_vars = jax.device_get(state.params)
+        recon = reconcile_bn_stats(own_vars, raw["state"]["params"])
+        own = own_vars["params"]
         keep_scopes = (
             ("backbone", "tail") if mode == 1 else tuple(k for k in own if k != "predictors")
         )
-        merged = dict(own)
-        for scope in keep_scopes:
-            if scope in loaded:
-                merged[scope] = loaded[scope]
+        new_vars = dict(own_vars)
+        for coll in ("params", "batch_stats"):
+            if coll not in own_vars:
+                continue
+            merged = dict(own_vars[coll])
+            for scope in keep_scopes:
+                if scope in recon.get(coll, {}):
+                    merged[scope] = recon[coll][scope]
+            new_vars[coll] = merged
         print(f"preloaded mode={mode} scopes={keep_scopes} from {path}")
         return TrainState(
-            params={"params": merged}, opt_state=state.opt_state, step=state.step
+            params=new_vars, opt_state=state.opt_state, step=state.step
         )
 
     def find_previous(self) -> Optional[str]:

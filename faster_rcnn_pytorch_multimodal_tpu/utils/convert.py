@@ -246,3 +246,45 @@ def load_mobilenet_state_dict(
     return _copy_state_dict(
         params, state_dict, mobilenet_key_to_flax, convert_tensor, verbose
     )
+
+
+def reconcile_bn_stats(template: Dict, loaded: Dict, verbose: bool = True) -> Dict:
+    """Merge a restored variables dict into `template`'s structure, mapping
+    BN running statistics across storage collections.
+
+    torch keeps BN running_mean/running_var in the state dict regardless of
+    train/eval mode (ref lib/utils/init_utils.py:56-77 set_bn_fix only stops
+    gradients), so a checkpoint trained at any FIXED_BLOCKS loads into a
+    model built at any other.  Here frozen-BN models store mean/var under
+    ("params", ..., "mean"/"var") while live-BN models (fixed_blocks == -1)
+    keep them in the "batch_stats" collection — this maps either layout into
+    whichever the target model expects, so e.g. test_net without
+    --fixed_blocks -1 still evaluates a from-scratch live-BN checkpoint
+    correctly (and a converted frozen checkpoint preloads into a live
+    model).  Leaves absent from `loaded` keep their template (init) values;
+    a count of such fallbacks is printed so partial loads are never silent.
+    """
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    t = flatten_dict(dict(template))
+    l = flatten_dict(dict(loaded))
+    out = {}
+    missing = []
+    for k, v in t.items():
+        cand = l.get(k)
+        if cand is None and k and k[-1] in ("mean", "var"):
+            if k[0] == "params":
+                cand = l.get(("batch_stats",) + k[1:])
+            elif k[0] == "batch_stats":
+                cand = l.get(("params",) + k[1:])
+        if cand is not None and np.shape(cand) == np.shape(v):
+            out[k] = cand
+        else:
+            out[k] = v
+            missing.append(k)
+    if verbose and missing:
+        print(
+            f"reconcile_bn_stats: {len(missing)} / {len(t)} leaves kept "
+            f"init values (first: {'/'.join(missing[0])})"
+        )
+    return unflatten_dict(out)

@@ -79,3 +79,61 @@ def test_load_resnet18_state_dict_into_model():
         p["rpn"]["rpn_net"]["kernel"],
         params["params"]["rpn"]["rpn_net"]["kernel"],
     )
+
+
+def test_reconcile_bn_stats_cross_mode():
+    """Live-BN checkpoints load into frozen-BN models and vice versa
+    (torch keeps running stats in the state dict at every FIXED_BLOCKS)."""
+    from faster_rcnn_pytorch_multimodal_tpu.utils.convert import (
+        reconcile_bn_stats,
+    )
+
+    # live-BN training layout: stats in batch_stats, no mean/var in params
+    live = {
+        "params": {"bb": {"bn": {"scale": np.full(4, 2.0), "bias": np.zeros(4)}}},
+        "batch_stats": {"bb": {"bn": {"mean": np.full(4, 5.0), "var": np.full(4, 9.0)}}},
+    }
+    # frozen-BN eval layout: mean/var are (masked-out) params
+    frozen_tmpl = {
+        "params": {
+            "bb": {
+                "bn": {
+                    "scale": np.ones(4),
+                    "bias": np.zeros(4),
+                    "mean": np.zeros(4),
+                    "var": np.ones(4),
+                }
+            }
+        }
+    }
+    out = reconcile_bn_stats(frozen_tmpl, live, verbose=False)
+    np.testing.assert_allclose(out["params"]["bb"]["bn"]["mean"], 5.0)
+    np.testing.assert_allclose(out["params"]["bb"]["bn"]["var"], 9.0)
+    np.testing.assert_allclose(out["params"]["bb"]["bn"]["scale"], 2.0)
+
+    # frozen checkpoint -> live model (preload into from-scratch training)
+    live_tmpl = {
+        "params": {"bb": {"bn": {"scale": np.ones(4), "bias": np.zeros(4)}}},
+        "batch_stats": {"bb": {"bn": {"mean": np.zeros(4), "var": np.ones(4)}}},
+    }
+    frozen = {
+        "params": {
+            "bb": {
+                "bn": {
+                    "scale": np.full(4, 3.0),
+                    "bias": np.zeros(4),
+                    "mean": np.full(4, 7.0),
+                    "var": np.full(4, 2.0),
+                }
+            }
+        }
+    }
+    out = reconcile_bn_stats(live_tmpl, frozen, verbose=False)
+    np.testing.assert_allclose(out["batch_stats"]["bb"]["bn"]["mean"], 7.0)
+    np.testing.assert_allclose(out["batch_stats"]["bb"]["bn"]["var"], 2.0)
+    np.testing.assert_allclose(out["params"]["bb"]["bn"]["scale"], 3.0)
+
+    # shape mismatch falls back to template init values
+    bad = {"params": {"bb": {"bn": {"scale": np.ones(8)}}}}
+    out = reconcile_bn_stats(frozen_tmpl, bad, verbose=False)
+    np.testing.assert_allclose(out["params"]["bb"]["bn"]["scale"], 1.0)

@@ -85,15 +85,15 @@ def main(argv=None):
     if args.weights_file:
         import orbax.checkpoint as ocp
 
+        from faster_rcnn_pytorch_multimodal_tpu.utils.convert import (
+            reconcile_bn_stats,
+        )
+
         with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
-            restored = ckptr.restore(
-                os.path.abspath(args.weights_file),
-                args=ocp.args.PyTreeRestore(
-                    {"state": {"params": jax.device_get(params)}},
-                    partial_restore=True,
-                ),
-            )
-        params = restored["state"]["params"]
+            raw = ckptr.restore(os.path.abspath(args.weights_file))
+        params = reconcile_bn_stats(
+            jax.device_get(params), raw["state"]["params"]
+        )
 
     fwd = jax.jit(
         lambda p, d, w, key: model.apply(

@@ -81,15 +81,18 @@ def main(argv=None):
     if args.weights_file:
         import orbax.checkpoint as ocp
 
+        from faster_rcnn_pytorch_multimodal_tpu.utils.convert import (
+            reconcile_bn_stats,
+        )
+
+        # raw restore (no template) so collections the eval-time model does
+        # NOT expect (e.g. batch_stats from a live-BN training run) are still
+        # read and reconciled instead of silently dropped
         with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
-            restored = ckptr.restore(
-                os.path.abspath(args.weights_file),
-                args=ocp.args.PyTreeRestore(
-                    {"state": {"params": jax.device_get(params)}},
-                    partial_restore=True,
-                ),
-            )
-        params = restored["state"]["params"]
+            raw = ckptr.restore(os.path.abspath(args.weights_file))
+        params = reconcile_bn_stats(
+            jax.device_get(params), raw["state"]["params"]
+        )
         print(f"loaded weights from {args.weights_file}")
 
     fwd = jax.jit(
