@@ -30,7 +30,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-1e30)
+# python float, not jnp: a module-level jnp constant commits a backend
+# at import time (slow, and fails hard if the TPU tunnel is briefly down)
+NEG_INF = -1e30
 
 
 @partial(jax.jit, static_argnames=("max_out", "iters", "exact"))

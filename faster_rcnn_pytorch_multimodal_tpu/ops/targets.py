@@ -35,7 +35,8 @@ from faster_rcnn_pytorch_multimodal_tpu.ops.box_transform import (
 )
 from faster_rcnn_pytorch_multimodal_tpu.ops.iou import bbox_overlaps
 
-_EPS = jnp.float32(1.1920929e-07)  # torch.finfo(float32).eps (ref :71)
+_EPS = 1.1920929e-07  # torch.finfo(float32).eps (ref :71); python float
+# so importing the module does not initialize a device backend
 
 
 def _rank_within(candidate: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
