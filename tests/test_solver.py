@@ -96,3 +96,61 @@ def test_metrics_writer(tmp_path):
     assert len(lines) == 2
     rec = json.loads(lines[1])
     assert rec["step"] == 2 and abs(rec["loss"] - 1.2) < 1e-9
+
+
+def test_staged_preload_cross_bn_mode(tmp_path):
+    """load_pretrained mode=1 brings a frozen-BN checkpoint's backbone —
+    including BN running stats — into a live-BN (fixed_blocks=-1) model's
+    batch_stats collection, and keeps non-backbone scopes at init
+    (torch parity: running stats are state-dict entries at every
+    FIXED_BLOCKS, ref imagenet.py:224-237 load_pretrained_cnn)."""
+    from faster_rcnn_pytorch_multimodal_tpu.training.solver import (
+        create_train_state,
+    )
+
+    cfg, solver = _solver(tmp_path)
+    solver.train(max_iters=3, log_every=3)
+    ckpt = os.path.join(str(tmp_path), "checkpoints", "iter_3")
+
+    live_cfg = cfg_from_list(
+        cfg_from_list(default_config(), _TINY), ("RESNET.FIXED_BLOCKS", "-1")
+    )
+    ds = SyntheticDataset(live_cfg, num_frames=6, num_classes=2, image_hw=(64, 96))
+    loader = BatchLoader(ds, live_cfg, batch_size=2, seed=0)
+    model = FasterRCNN(cfg=live_cfg, num_classes=2)
+    live_solver = Solver(
+        live_cfg, model, loader, output_dir=str(tmp_path / "live")
+    )
+    rng = jax.random.PRNGKey(0)
+    state, _ = create_train_state(model, live_cfg, rng, loader.peek())
+    assert "batch_stats" in state.params  # live-BN model
+    init_pred = jax.device_get(state.params["params"]["predictors"])
+
+    loaded = live_solver.load_pretrained(state, ckpt, mode=1)
+
+    import orbax.checkpoint as ocp
+
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        raw = ckptr.restore(os.path.abspath(ckpt))
+    saved = raw["state"]["params"]["params"]
+
+    got = jax.device_get(loaded.params)
+    # backbone conv kernels copied
+    np.testing.assert_allclose(
+        got["params"]["backbone"]["stem"]["conv1"]["kernel"],
+        saved["backbone"]["stem"]["conv1"]["kernel"],
+    )
+    # frozen checkpoint's BN running stats landed in batch_stats
+    np.testing.assert_allclose(
+        got["batch_stats"]["backbone"]["stem"]["bn1"]["mean"],
+        saved["backbone"]["stem"]["bn1"]["mean"],
+    )
+    np.testing.assert_allclose(
+        got["batch_stats"]["backbone"]["stem"]["bn1"]["var"],
+        saved["backbone"]["stem"]["bn1"]["var"],
+    )
+    # 2nd-stage predictors stay at init for mode=1
+    flat_init = jax.tree.leaves(init_pred)
+    flat_got = jax.tree.leaves(got["params"]["predictors"])
+    for a, b in zip(flat_init, flat_got):
+        np.testing.assert_allclose(a, b)
