@@ -184,37 +184,41 @@ def bev_uncertainty_config():
     )
 
 
+def _run(store, key, fn, *args):
+    """Run one config, isolating failures: a crashed/OOMed config records
+    an error note instead of killing the whole bench, so the driver always
+    gets a JSON line with whatever completed."""
+    import traceback
+
+    try:
+        store[key] = round(fn(*args), 2)
+    except Exception as exc:  # noqa: BLE001 — report, don't die
+        traceback.print_exc()
+        store.setdefault("errors", {})[key] = f"{type(exc).__name__}: {exc}"
+
+
 def main():
     which = os.environ.get("BENCH_CONFIG", "all")
     results = {}
     extras = {}
+    img_ds = dict(num_classes=2, image_hw=(512, 960))
     if which in ("image", "both", "all"):
-        results["image_fps"] = round(
-            _throughput(image_config(), dict(num_classes=2, image_hw=(512, 960))), 2
-        )
+        _run(results, "image_fps", _throughput, image_config(), img_ds)
     if which in ("bev", "both", "all"):
-        results["bev_fps"] = round(
-            _throughput(bev_config(), dict(num_classes=2)), 2
-        )
+        _run(results, "bev_fps", _throughput, bev_config(), dict(num_classes=2))
     if which in ("fpn", "all"):
-        extras["fpn_fps"] = round(
-            _throughput(fpn_config(), dict(num_classes=2, image_hw=(512, 960))), 2
-        )
+        _run(extras, "fpn_fps", _throughput, fpn_config(), img_ds)
     if which in ("rpn", "all"):
-        extras["rpn_fps"] = round(
-            _throughput(rpn_only_config(), dict(num_classes=2, image_hw=(512, 960))), 2
-        )
+        _run(extras, "rpn_fps", _throughput, rpn_only_config(), img_ds)
     if which in ("uc", "all"):
         ucfg = uncertainty_config()
-        extras["uc_train_fps"] = round(
-            _throughput(ucfg, dict(num_classes=2, image_hw=(512, 960))), 2
+        _run(extras, "uc_train_fps", _throughput, ucfg, img_ds)
+        _run(extras, "uc_test_fps", _test_throughput, ucfg, img_ds)
+        _run(
+            extras, "bev_uc_train_fps", _throughput,
+            bev_uncertainty_config(), dict(num_classes=2),
         )
-        extras["uc_test_fps"] = round(
-            _test_throughput(ucfg, dict(num_classes=2, image_hw=(512, 960))), 2
-        )
-        extras["bev_uc_train_fps"] = round(
-            _throughput(bev_uncertainty_config(), dict(num_classes=2)), 2
-        )
+    errors = {**results.pop("errors", {}), **extras.pop("errors", {})}
     pool = results or extras
     value = round(sum(pool.values()) / max(len(pool), 1), 2)
     out = {
@@ -225,6 +229,8 @@ def main():
     }
     out.update(results)
     out.update(extras)
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

@@ -76,6 +76,7 @@ from faster_rcnn_pytorch_multimodal_tpu.ops.roi_align import (
 )
 from faster_rcnn_pytorch_multimodal_tpu.ops.targets import (
     anchor_target,
+    effective_rpn_overlaps,
     proposal_target,
 )
 
@@ -273,7 +274,7 @@ def _mc_roi_head_chunk(mdl: "FasterRCNN", carry, xs):
         one,
         in_axes=0,
         out_axes=0,
-        variable_axes={"params": None},
+        variable_axes={"params": None, "batch_stats": None},
         split_rngs={"dropout": True},
     )(mdl, xs)
     return carry, out
@@ -293,7 +294,7 @@ def _mc_rpn_scores_chunk(mdl: "FasterRCNN", images, xs):
         one,
         in_axes=0,
         out_axes=0,
-        variable_axes={"params": None},
+        variable_axes={"params": None, "batch_stats": None},
         split_rngs={"dropout": True},
     )(mdl, xs)
     return images, out
@@ -307,7 +308,7 @@ def _chunked_mc_scan(mdl: "FasterRCNN", body, carry, t: int, chunk: int):
     steps = -(-t // chunk)
     scanned = nn.scan(
         body,
-        variable_broadcast="params",
+        variable_broadcast=["params", "batch_stats"],
         split_rngs={"dropout": True},
         length=steps,
     )
@@ -649,16 +650,7 @@ class FasterRCNN(nn.Module):
         rng_at, rng_pt, rng_cls = jax.random.split(rng, 3)
 
         # --- RPN targets (vmapped per frame) ---
-        # lidar-specific overlap thresholds when set (> 0): rotated BEV
-        # boxes overlap AABB anchors less than image boxes (config.py
-        # LidarConfig.rpn_*_overlap rationale)
-        pos_ov = c.train.rpn_positive_overlap
-        neg_ov = c.train.rpn_negative_overlap
-        if is_lidar:
-            if c.lidar.rpn_positive_overlap > 0:
-                pos_ov = c.lidar.rpn_positive_overlap
-            if c.lidar.rpn_negative_overlap > 0:
-                neg_ov = c.lidar.rpn_negative_overlap
+        pos_ov, neg_ov = effective_rpn_overlaps(c)
         at = jax.vmap(
             partial(
                 anchor_target,

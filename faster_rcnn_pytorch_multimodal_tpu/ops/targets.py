@@ -69,6 +69,22 @@ class AnchorTargets(NamedTuple):
     bbox_outside_weights: jnp.ndarray  # (K, 4)
 
 
+def effective_rpn_overlaps(cfg) -> tuple:
+    """(positive, negative) RPN overlap thresholds actually trained with:
+    lidar nets override TRAIN.RPN_*_OVERLAP with LIDAR.RPN_*_OVERLAP when
+    set (> 0) — rotated BEV boxes overlap AABB anchors less than image
+    boxes do (config.py LidarConfig rationale).  Single source of truth
+    for the detector's forward_train and the DEBUG.DRAW_ANCHOR_T draw."""
+    pos = cfg.train.rpn_positive_overlap
+    neg = cfg.train.rpn_negative_overlap
+    if cfg.net_type == "lidar":
+        if cfg.lidar.rpn_positive_overlap > 0:
+            pos = cfg.lidar.rpn_positive_overlap
+        if cfg.lidar.rpn_negative_overlap > 0:
+            neg = cfg.lidar.rpn_negative_overlap
+    return pos, neg
+
+
 @partial(
     jax.jit,
     static_argnames=(

@@ -37,6 +37,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, cfg: Config) -> Any:
-    """Device-put a host batch with the leading dim sharded over the mesh."""
+    """Device-put a host batch with the leading dim sharded over the mesh.
+
+    Scalar (rank-0) leaves — e.g. the loader's per-minibatch `scale_idx` —
+    have no batch dim to shard and are replicated instead."""
     sh = batch_sharding(mesh, cfg)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    rep = replicated(mesh)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sh if getattr(x, "ndim", 0) else rep), batch
+    )

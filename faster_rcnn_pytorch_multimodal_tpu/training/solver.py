@@ -131,6 +131,9 @@ def make_eval_step(model: FasterRCNN):
             batch["gt_mask"],
             batch["window"],
             rng,
+            batch.get("gt_boxes_dc"),
+            batch.get("dc_mask"),
+            batch.get("scale_idx"),
             method=FasterRCNN.forward_train,
             rngs={"dropout": as_dropout_rng(rng)},
         )
@@ -246,20 +249,16 @@ class Solver:
         mode 1 = backbone only (load_pretrained_cnn: backbone + C4 tail),
         mode 2 = everything except the 2nd-stage cls/bbox predictors
         (load_pretrained_full)."""
-        import orbax.checkpoint as ocp
-
         from faster_rcnn_pytorch_multimodal_tpu.utils.convert import (
-            reconcile_bn_stats,
+            restore_reconciled,
         )
 
         # raw restore + BN-stat reconciliation: a frozen-BN checkpoint
         # preloads into a live-BN model (stats -> batch_stats) and vice
         # versa, matching torch where running stats are ordinary state-dict
         # entries at every FIXED_BLOCKS setting
-        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
-            raw = ckptr.restore(os.path.abspath(path))
         own_vars = jax.device_get(state.params)
-        recon = reconcile_bn_stats(own_vars, raw["state"]["params"])
+        recon = restore_reconciled(path, own_vars)
         own = own_vars["params"]
         keep_scopes = (
             ("backbone", "tail") if mode == 1 else tuple(k for k in own if k != "predictors")

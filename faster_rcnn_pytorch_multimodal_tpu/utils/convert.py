@@ -288,3 +288,19 @@ def reconcile_bn_stats(template: Dict, loaded: Dict, verbose: bool = True) -> Di
             f"init values (first: {'/'.join(missing[0])})"
         )
     return unflatten_dict(out)
+
+
+def restore_reconciled(path: str, template_vars: Dict, verbose: bool = True) -> Dict:
+    """Orbax raw restore of a solver snapshot + BN-stat reconciliation.
+
+    Shared by solver.load_pretrained, tools/test_net.py and tools/demo.py:
+    restores WITHOUT a template so collections the consuming model does not
+    expect (e.g. batch_stats from a live-BN training run) are still read,
+    then maps them into `template_vars`' layout via reconcile_bn_stats."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        raw = ckptr.restore(os.path.abspath(path))
+    return reconcile_bn_stats(template_vars, raw["state"]["params"], verbose=verbose)

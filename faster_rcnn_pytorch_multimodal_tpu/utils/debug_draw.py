@@ -65,7 +65,10 @@ def draw_anchor_targets(cfg, batch: Dict[str, np.ndarray], out_dir: str):
         build_anchor_grid, feat_stride,
     )
     from faster_rcnn_pytorch_multimodal_tpu.ops.iou import bbox_3d_to_bev_aabb
-    from faster_rcnn_pytorch_multimodal_tpu.ops.targets import anchor_target
+    from faster_rcnn_pytorch_multimodal_tpu.ops.targets import (
+        anchor_target,
+        effective_rpn_overlaps,
+    )
 
     data = np.asarray(batch["data"])
     stride = feat_stride(cfg)
@@ -77,6 +80,7 @@ def draw_anchor_targets(cfg, batch: Dict[str, np.ndarray], out_dir: str):
         gt_bev = np.hstack([gt_bev, gt[:, 7:8]])
     else:
         gt_bev = gt
+    pos_ov, neg_ov = effective_rpn_overlaps(cfg)
     at = anchor_target(
         jnp.asarray(anchors),
         jnp.asarray(gt_bev),
@@ -85,8 +89,8 @@ def draw_anchor_targets(cfg, batch: Dict[str, np.ndarray], out_dir: str):
         jax.random.PRNGKey(0),
         rpn_batchsize=cfg.train.rpn_batchsize,
         fg_fraction=cfg.train.rpn_fg_fraction,
-        positive_overlap=cfg.train.rpn_positive_overlap,
-        negative_overlap=cfg.train.rpn_negative_overlap,
+        positive_overlap=pos_ov,
+        negative_overlap=neg_ov,
         clobber_positives=cfg.train.rpn_clobber_positives,
     )
     # anchor_target is compact: at.sel holds the sampled lane ids

@@ -73,16 +73,26 @@ def _uc_scalar(uc_row: Dict[str, np.ndarray], sort_key: str) -> float:
     return float(np.mean(u))
 
 
+# matplotlib tab10 cycle (ref tools/demo_all_bboxes.py per-class colors)
+TAB10 = (
+    (31, 119, 180), (255, 127, 14), (44, 160, 44), (214, 39, 40),
+    (148, 103, 189), (140, 86, 75), (227, 119, 194), (127, 127, 127),
+    (188, 189, 34), (23, 190, 207),
+)
+
+
 def draw_detections_image(
     image: np.ndarray,
     dets: np.ndarray,
     uncertainties: Optional[List[Dict]] = None,
     sort_key: str = "",
     class_name: str = "det",
+    color: Optional[tuple] = None,
 ) -> np.ndarray:
     """Detections (N, 5) [x1,y1,x2,y2,score] on an RGB image; when a
     sort_key is given the box color encodes the normalized uncertainty
-    (green=certain -> red=uncertain, ref db.py uncertainty-sorted draw)."""
+    (green=certain -> red=uncertain, ref db.py uncertainty-sorted draw).
+    A fixed `color` overrides both (per-class color cycles)."""
     from PIL import Image, ImageDraw
 
     img = Image.fromarray(np.clip(image, 0, 255).astype(np.uint8))
@@ -97,12 +107,12 @@ def draw_detections_image(
     else:
         uc = np.zeros(len(dets))
     for row, u in zip(dets, uc):
-        color = (int(255 * u), int(255 * (1 - u)), 40)
-        draw.rectangle([row[0], row[1], row[2], row[3]], outline=color, width=2)
+        c = color or (int(255 * u), int(255 * (1 - u)), 40)
+        draw.rectangle([row[0], row[1], row[2], row[3]], outline=c, width=2)
         draw.text(
             (row[0] + 2, max(row[1] - 10, 0)),
             f"{class_name} {row[4]:.2f}",
-            fill=color,
+            fill=c,
             font=_font(),
         )
     return np.asarray(img)

@@ -277,3 +277,74 @@ def test_multiscale_training():
         )
         assert np.isfinite(float(losses["total_loss"]))
     assert done == {0, 1}
+
+
+def test_multiscale_shard_and_eval():
+    """Regression: a multi-scale batch survives the Solver's real path —
+    the rank-0 scale_idx leaf must be REPLICATED by shard_batch (a P('data')
+    sharding is invalid for rank 0), and make_eval_step must forward
+    scale_idx so val minibatches score against the matching anchor grid."""
+    from faster_rcnn_pytorch_multimodal_tpu.parallel.mesh import (
+        make_mesh,
+        shard_batch,
+    )
+    from faster_rcnn_pytorch_multimodal_tpu.training.solver import make_eval_step
+
+    cfg = cfg_from_list(_image_cfg(), ("TRAIN.SCALES", "(0.5,1.0)"))
+    ds = SyntheticDataset(cfg, num_frames=8, num_classes=2, image_hw=(128, 192))
+    loader = BatchLoader(ds, cfg, batch_size=2, seed=3)
+    batches = [loader.next() for _ in range(8)]
+    assert {int(b["scale_idx"]) for b in batches} == {0, 1}
+
+    mesh = make_mesh(cfg, jax.devices()[:2])
+    model = FasterRCNN(cfg=cfg, num_classes=2)
+    rng = jax.random.PRNGKey(0)
+    state, opt = create_train_state(model, cfg, rng, batches[0])
+    step = make_train_step(model, opt)
+    eval_step = make_eval_step(model)
+    done = set()
+    for b in batches:
+        i = int(b["scale_idx"])
+        if i in done:
+            continue
+        done.add(i)
+        sb = shard_batch(b, mesh, cfg)  # crashes pre-fix on the rank-0 leaf
+        state, losses = step(state, sb, rng)
+        assert np.isfinite(float(losses["total_loss"]))
+        ev = eval_step(state.params, sb, rng)
+        assert np.isfinite(float(ev["total_loss"]))
+    assert done == {0, 1}
+
+
+def test_mc_dropout_with_live_bn():
+    """Regression: epistemic MC inference on a live-BN model (fixed_blocks
+    == -1, the from-scratch mode) — the nn.scan/nn.vmap MC lifts must
+    broadcast the batch_stats collection alongside params or FrozenBatchNorm
+    raises ScopeCollectionNotFound inside the sampled tail."""
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import as_dropout_rng
+
+    cfg = cfg_from_list(
+        _image_cfg(),
+        (
+            "RESNET.FIXED_BLOCKS", "-1",
+            "UC.EN_CLS_EPISTEMIC", "True",
+            "UC.EN_BBOX_EPISTEMIC", "True",
+            "UC.E_NUM_SAMPLE", "4",
+            "UC.E_MC_CHUNK", "2",
+        ),
+    )
+    ds = SyntheticDataset(cfg, num_frames=2, num_classes=2, image_hw=(128, 192))
+    loader = BatchLoader(ds, cfg, batch_size=2, seed=0, augment=False)
+    b = loader.peek()
+    data, window = jnp.asarray(b["data"]), jnp.asarray(b["window"])
+    model = FasterRCNN(cfg=cfg, num_classes=2)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "dropout": rng}, data[:1], window[:1])
+    assert "batch_stats" in params, "live-BN model must carry batch_stats"
+    out = model.apply(
+        params, data, window,
+        method=FasterRCNN.forward_test,
+        rngs={"dropout": as_dropout_rng(rng)},
+    )
+    assert np.isfinite(np.asarray(out["cls_prob"])).all()
+    assert "e_cls_var" in out["uncertainties"]

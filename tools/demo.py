@@ -30,6 +30,10 @@ def parse_args(argv=None):
     p.add_argument("--en_fpn", default=0, type=int)
     p.add_argument("--en_full_net", default=1, type=int)
     p.add_argument("--uc_sort_type", default=None, type=str)
+    p.add_argument(
+        "--class_colors", default=0, type=int,
+        help="1 = fixed tab10 color per class (demo_all_bboxes mode)",
+    )
     p.add_argument("--scale", default=None, type=float)
     p.add_argument("--data_dir", default=None, type=str)
     p.add_argument("--cache_dir", default=None, type=str)
@@ -83,17 +87,11 @@ def main(argv=None):
     rng = jax.random.PRNGKey(0)
     params = jax.jit(model.init)({"params": rng, "dropout": rng}, data, window)
     if args.weights_file:
-        import orbax.checkpoint as ocp
-
         from faster_rcnn_pytorch_multimodal_tpu.utils.convert import (
-            reconcile_bn_stats,
+            restore_reconciled,
         )
 
-        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
-            raw = ckptr.restore(os.path.abspath(args.weights_file))
-        params = reconcile_bn_stats(
-            jax.device_get(params), raw["state"]["params"]
-        )
+        params = restore_reconciled(args.weights_file, jax.device_get(params))
 
     fwd = jax.jit(
         lambda p, d, w, key: model.apply(
@@ -139,6 +137,8 @@ def main(argv=None):
                 canvas = viz.draw_detections_image(
                     canvas, boxes_j[j], class_name=db.classes[j],
                     sort_key=cfg.uc.sort_type,
+                    color=viz.TAB10[(j - 1) % len(viz.TAB10)]
+                    if args.class_colors else None,
                 )
     viz.save_image(canvas, args.out)
     print(f"wrote {args.out}")

@@ -20,11 +20,14 @@ def main(argv=None):
     import demo
 
     argv = list(sys.argv[1:] if argv is None else argv)
+    # PREPEND the defaults: demo.py's --set is nargs=REMAINDER, so anything
+    # appended after a user-supplied --set would be swallowed into set_cfgs
+    prefix = ["--class_colors", "1"]
     if not any(a.startswith("--thresh") for a in argv):
-        argv += ["--thresh", "0.8"]  # ref demo_all_bboxes.py:69 CONF_THRESH
+        prefix += ["--thresh", "0.8"]  # ref demo_all_bboxes.py:69 CONF_THRESH
     if not any(a.startswith("--out") for a in argv):
-        argv += ["--out", "demo_all_bboxes_out.png"]
-    demo.main(argv)
+        prefix += ["--out", "demo_all_bboxes_out.png"]
+    demo.main(prefix + argv)
 
 
 if __name__ == "__main__":

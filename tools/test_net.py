@@ -79,20 +79,11 @@ def main(argv=None):
         jnp.asarray(sample["window"][:1]),
     )
     if args.weights_file:
-        import orbax.checkpoint as ocp
-
         from faster_rcnn_pytorch_multimodal_tpu.utils.convert import (
-            reconcile_bn_stats,
+            restore_reconciled,
         )
 
-        # raw restore (no template) so collections the eval-time model does
-        # NOT expect (e.g. batch_stats from a live-BN training run) are still
-        # read and reconciled instead of silently dropped
-        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
-            raw = ckptr.restore(os.path.abspath(args.weights_file))
-        params = reconcile_bn_stats(
-            jax.device_get(params), raw["state"]["params"]
-        )
+        params = restore_reconciled(args.weights_file, jax.device_get(params))
         print(f"loaded weights from {args.weights_file}")
 
     fwd = jax.jit(
