@@ -30,7 +30,36 @@ REFERENCE_FPS = 4.0
 
 BATCH = 8
 WARMUP = 2
-ITERS = 10
+ITERS_A = 3
+ITERS_B = 23
+
+
+def _sync(x):
+    """Force completion by fetching a scalar to the host.
+
+    jax.block_until_ready is NOT a reliable fence on the axon-tunneled
+    TPU platform (observed returning in 2 ms after enqueueing 22 TFLOP,
+    i.e. a >10,000 TFLOP/s claim on a ~200 TFLOP/s chip); a device->host
+    copy of the result is the only sync that provably waits for the
+    whole dispatched chain."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    return float(np.asarray(jnp.ravel(x)[0]))
+
+
+def _timed(run_iters):
+    """Two-point timing: run N_a iters + fetch, then N_b iters + fetch,
+    both from a drained pipeline.  The ~0.2 s tunnel round-trip latency
+    of the fetch is constant, so frames/sec = B*(N_b-N_a)/(t_b-t_a)
+    cancels it."""
+    t0 = time.time()
+    _sync(run_iters(ITERS_A))
+    t_a = time.time() - t0
+    t0 = time.time()
+    _sync(run_iters(ITERS_B))
+    t_b = time.time() - t0
+    return BATCH * (ITERS_B - ITERS_A) / max(t_b - t_a, 1e-9)
 
 
 def _throughput(cfg, ds_kwargs):
@@ -54,13 +83,15 @@ def _throughput(cfg, ds_kwargs):
     batch = {k: jnp.asarray(v) for k, v in loader.next().items()}
     for _ in range(WARMUP):
         state, losses = step(state, batch, rng)
-    jax.block_until_ready(losses["total_loss"])
+    _sync(losses["total_loss"])
 
-    t0 = time.time()
-    for _ in range(ITERS):
-        state, losses = step(state, batch, rng)
-    jax.block_until_ready(losses["total_loss"])
-    return BATCH * ITERS / (time.time() - t0)
+    def run_iters(n, state=state):
+        losses = None
+        for _ in range(n):
+            state, losses = step(state, batch, rng)
+        return losses["total_loss"]
+
+    return _timed(run_iters)
 
 
 def image_config():
@@ -130,12 +161,15 @@ def _test_throughput(cfg, ds_kwargs):
     data, window = jnp.asarray(batch["data"]), jnp.asarray(batch["window"])
     for _ in range(WARMUP):
         out = fwd(params, data, window, rng)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(ITERS):
-        out = fwd(params, data, window, rng)
-    jax.block_until_ready(out)
-    return BATCH * ITERS / (time.time() - t0)
+    _sync(out)
+
+    def run_iters(n):
+        out = None
+        for _ in range(n):
+            out = fwd(params, data, window, rng)
+        return out
+
+    return _timed(run_iters)
 
 
 def uncertainty_config():
