@@ -48,18 +48,25 @@ def _sync(x):
     return float(np.asarray(jnp.ravel(x)[0]))
 
 
-def _timed(run_iters):
+def _timed(run_iters, repeats=3):
     """Two-point timing: run N_a iters + fetch, then N_b iters + fetch,
     both from a drained pipeline.  The ~0.2 s tunnel round-trip latency
     of the fetch is constant, so frames/sec = B*(N_b-N_a)/(t_b-t_a)
-    cancels it."""
-    t0 = time.time()
-    _sync(run_iters(ITERS_A))
-    t_a = time.time() - t0
-    t0 = time.time()
-    _sync(run_iters(ITERS_B))
-    t_b = time.time() - t0
-    return BATCH * (ITERS_B - ITERS_A) / max(t_b - t_a, 1e-9)
+    cancels it.  The pair is measured `repeats` times and the best rate
+    kept: every noise source (host contention, tunnel stalls) only ever
+    inflates wall time, so max-fps is the least-biased estimator of the
+    device's steady-state rate (observed 115 vs 73 f/s on the same
+    config with a concurrent host-side pytest run)."""
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.time()
+        _sync(run_iters(ITERS_A))
+        t_a = time.time() - t0
+        t0 = time.time()
+        _sync(run_iters(ITERS_B))
+        t_b = time.time() - t0
+        best = max(best, BATCH * (ITERS_B - ITERS_A) / max(t_b - t_a, 1e-9))
+    return best
 
 
 def _throughput(cfg, ds_kwargs):
