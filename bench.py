@@ -146,6 +146,7 @@ def _test_throughput(cfg, ds_kwargs):
     from faster_rcnn_pytorch_multimodal_tpu.models.detector import (
         FasterRCNN,
         as_dropout_rng,
+        cast_for_compute,
     )
 
     ds = SyntheticDataset(cfg, num_frames=16, **ds_kwargs)
@@ -160,7 +161,7 @@ def _test_throughput(cfg, ds_kwargs):
     )
     fwd = jax.jit(
         lambda p, d, w, key: model.apply(
-            p, d, w, method=FasterRCNN.forward_test,
+            cast_for_compute(p, cfg), d, w, method=FasterRCNN.forward_test,
             rngs={"dropout": as_dropout_rng(key)}
         )["cls_prob"]
     )

@@ -22,7 +22,10 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from faster_rcnn_pytorch_multimodal_tpu.models.resnet import FrozenBatchNorm
+from faster_rcnn_pytorch_multimodal_tpu.models.resnet import (
+    CheapDropout,
+    FrozenBatchNorm,
+)
 
 
 def _normal(std: float):
@@ -94,12 +97,12 @@ class EpistemicStack(nn.Module):
         if self.batchnorm_en:
             x = FrozenBatchNorm(self.features, name=f"{self.prefix}_bn1")(x)
         x = nn.relu(x)
-        x = nn.Dropout(self.drop_rate, name=f"{self.prefix}_drop1")(x, deterministic)
+        x = CheapDropout(self.drop_rate, name=f"{self.prefix}_drop1")(x, deterministic)
         x = nn.Dense(self.features, kernel_init=_normal(0.01), name=f"{self.prefix}_fc2")(x)
         if self.batchnorm_en:
             x = FrozenBatchNorm(self.features, name=f"{self.prefix}_bn2")(x)
         x = nn.relu(x)
-        x = nn.Dropout(self.drop_rate, name=f"{self.prefix}_drop2")(x, deterministic)
+        x = CheapDropout(self.drop_rate, name=f"{self.prefix}_drop2")(x, deterministic)
         return x
 
 

@@ -37,7 +37,7 @@ the detector level; params stay float32.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -107,11 +107,50 @@ class FrozenBatchNorm(nn.Module):
                     ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
             else:
                 mean, var = ra_mean.value, ra_var.value
+        # per-channel affine computed in f32 (C elements, cheap), applied in
+        # x.dtype: upcasting the ACTIVATION tensor to f32 here makes XLA
+        # store the preceding conv's output as f32 — at MC-dropout inference
+        # sizes that is a 9 GB buffer and 2x the HBM traffic of bf16
         inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.eps)
-        y = (x.astype(jnp.float32) - mean.astype(jnp.float32)) * (
-            inv * scale.astype(jnp.float32)
-        ) + bias.astype(jnp.float32)
-        return y.astype(x.dtype)
+        a = inv * scale.astype(jnp.float32)
+        b = bias.astype(jnp.float32) - mean.astype(jnp.float32) * a
+        return x * a.astype(x.dtype) + b.astype(x.dtype)
+
+
+class CheapDropout(nn.Module):
+    """Dropout with a u8 mask drawn from 4x fewer hardware random words.
+
+    flax's nn.Dropout draws one u32 per element (bernoulli -> uniform);
+    the RngBitGenerator output is unfusible, so at MC-dropout inference
+    the mask bits alone are GBs of HBM per step (u32[10,2400,7,7,2048] =
+    9 GB observed).  One random BYTE per element is ample for a dropout
+    mask: the keep probability quantizes to 1/256 and the scale uses the
+    QUANTIZED value, so E[output] == input holds exactly.  jax lowers
+    uint8 `random.bits` on the rbg impl straight to a u8-output
+    RngBitGenerator — 4x less generator output; the compare+select fuses
+    into the consumer.
+
+    API mirrors nn.Dropout (rate, broadcast_dims, deterministic).
+    """
+
+    rate: float
+    broadcast_dims: Sequence[int] = ()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if deterministic or self.rate == 0.0:
+            return x
+        if self.rate >= 1.0:
+            return jnp.zeros_like(x)
+        shape = list(x.shape)
+        for d in self.broadcast_dims:
+            shape[d] = 1
+        u8 = jax.random.bits(self.make_rng("dropout"), tuple(shape), jnp.uint8)
+        keep_q = max(1, round((1.0 - self.rate) * 256.0))  # P(keep) = keep_q/256
+        # compare in u16: keep_q can be 256 (rate < 1/512), which wraps in u8
+        mask = u8.astype(jnp.uint16) < jnp.uint16(keep_q)
+        scale = jnp.asarray(256.0 / keep_q, x.dtype)
+        return jnp.where(mask, x * scale, jnp.zeros_like(x))
 
 
 def _conv(features: int, kernel: int, stride: int = 1, name: str | None = None):
@@ -155,16 +194,17 @@ class Bottleneck(nn.Module):
             out = FrozenBatchNorm(self.planes, name="bn1", **bn)(out, ubs)
         out = nn.relu(out)
         if self.dropout_en:
-            out = nn.Dropout(self.drop_rate, name="drop1")(out, deterministic)
+            out = CheapDropout(self.drop_rate, name="drop1")(out, deterministic)
 
         out = _conv(self.planes, 3, s2, name="conv2")(out)
         if self.batchnorm_en:
             out = FrozenBatchNorm(self.planes, name="bn2", **bn)(out, ubs)
         out = nn.relu(out)
         if self.dropout_en:
-            # Dropout2d: drop whole channels (broadcast over H, W)
-            out = nn.Dropout(
-                self.drop_rate, broadcast_dims=(0, 1), name="drop2d"
+            # Dropout2d parity (torch drops whole (sample, channel) planes):
+            # mask (N, 1, 1, C), i.e. broadcast over the H/W dims
+            out = CheapDropout(
+                self.drop_rate, broadcast_dims=(1, 2), name="drop2d"
             )(out, deterministic)
 
         out = _conv(self.planes * 4, 1, 1, name="conv3")(out)
@@ -189,7 +229,7 @@ class Bottleneck(nn.Module):
 
         out = nn.relu(out + identity)
         if self.dropout_en:
-            out = nn.Dropout(self.drop_rate, name="drop3")(out, deterministic)
+            out = CheapDropout(self.drop_rate, name="drop3")(out, deterministic)
         return out
 
 

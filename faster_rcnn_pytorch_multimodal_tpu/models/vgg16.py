@@ -11,6 +11,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from faster_rcnn_pytorch_multimodal_tpu.models.resnet import CheapDropout
+
 _CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M",
         512, 512, 512)
 
@@ -44,7 +46,7 @@ class VGG16Tail(nn.Module):
     def __call__(self, pooled: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         x = pooled.reshape(pooled.shape[0], -1)
         x = nn.relu(nn.Dense(4096, name="fc6")(x))
-        x = nn.Dropout(0.5, name="drop6")(x, deterministic)
+        x = CheapDropout(0.5, name="drop6")(x, deterministic)
         x = nn.relu(nn.Dense(4096, name="fc7")(x))
-        x = nn.Dropout(0.5, name="drop7")(x, deterministic)
+        x = CheapDropout(0.5, name="drop7")(x, deterministic)
         return x

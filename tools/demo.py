@@ -58,6 +58,7 @@ def main(argv=None):
     from faster_rcnn_pytorch_multimodal_tpu.models.detector import (
     FasterRCNN,
     as_dropout_rng,
+    cast_for_compute,
 )
     from faster_rcnn_pytorch_multimodal_tpu.ops.filter import (
         filter_detections,
@@ -95,7 +96,7 @@ def main(argv=None):
 
     fwd = jax.jit(
         lambda p, d, w, key: model.apply(
-            p, d, w, method=FasterRCNN.forward_test,
+            cast_for_compute(p, cfg), d, w, method=FasterRCNN.forward_test,
             rngs={"dropout": as_dropout_rng(key)}
         )
     )

@@ -77,6 +77,7 @@ def main():
     from faster_rcnn_pytorch_multimodal_tpu.models.detector import (
         FasterRCNN,
         build_anchor_grid,
+        cast_for_compute,
         feat_stride,
     )
     from faster_rcnn_pytorch_multimodal_tpu.ops.iou import (
@@ -170,7 +171,7 @@ def main():
 
     fwd = jax.jit(
         lambda p, d, w: model.apply(
-            p, d, w, method=FasterRCNN.forward_test,
+            cast_for_compute(p, cfg), d, w, method=FasterRCNN.forward_test,
             rngs={"dropout": jax.random.PRNGKey(0)},
         )
     )

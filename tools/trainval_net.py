@@ -109,7 +109,12 @@ def build_dataset(cfg, db_name: str, mode: str):
     from faster_rcnn_pytorch_multimodal_tpu.data import SyntheticDataset
 
     if db_name.startswith("synthetic"):
-        return SyntheticDataset(cfg, num_frames=64, num_classes=2, mode=mode)
+        # disjoint frames per split (seed keys the generator): synthetic
+        # val/test measure GENERALIZATION, not training-set memorization
+        seed = {"train": 0, "val": 101, "test": 202}.get(mode, 0)
+        return SyntheticDataset(
+            cfg, num_frames=64, num_classes=2, mode=mode, seed=seed
+        )
     from faster_rcnn_pytorch_multimodal_tpu.data import datasets as real_datasets
 
     return real_datasets.get_db(db_name, cfg, mode)
