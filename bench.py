@@ -69,12 +69,41 @@ def _timed(run_iters, repeats=3):
     return best
 
 
+def _pretrained_like_bn(variables):
+    """Make the benchmarked step numerically LIVE from random init.
+
+    The bench configs are the supported fine-tune setup (frozen BN,
+    FIXED_BLOCKS=1) but start from random weights, where unit-scale
+    residual-terminator BN gammas double activation variance per block
+    (2^33 over res101's 33 blocks): step-0 losses are ~1e4, the gradient
+    global-norm overflows f32 inside the clip, and every step from the
+    second on times NaN propagation instead of real training.  Real
+    checkpoints have small terminator gammas (the stats/affines absorb the
+    growth); emulate that by setting each residual terminator's BN scale
+    to 0.25 — (1 + 0.25^2)^33 ~ 7x total variance growth — so losses stay
+    finite for the whole measurement.  Parameter VALUES only; the compute
+    graph and therefore the timing are unchanged."""
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(dict(variables))
+    out = {}
+    for k, v in flat.items():
+        terminator = k[-2:] == ("bn3", "scale") or (
+            # BasicBlock's terminator is bn2 (no bn3 sibling in the block)
+            k[-2:] == ("bn2", "scale")
+            and k[:-2] + ("bn3", "scale") not in flat
+        )
+        out[k] = jnp.full_like(v, 0.25) if terminator else v
+    return unflatten_dict(out)
+
+
 def _throughput(cfg, ds_kwargs):
     import jax
     import jax.numpy as jnp
 
     from faster_rcnn_pytorch_multimodal_tpu.data import BatchLoader, SyntheticDataset
-    from faster_rcnn_pytorch_multimodal_tpu.models.detector import FasterRCNN
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import FasterRCNN, TrainState
     from faster_rcnn_pytorch_multimodal_tpu.training.solver import (
         create_train_state,
         make_train_step,
@@ -85,6 +114,11 @@ def _throughput(cfg, ds_kwargs):
     model = FasterRCNN(cfg=cfg, num_classes=2)
     rng = jax.random.PRNGKey(0)
     state, opt = create_train_state(model, cfg, rng, loader.peek())
+    state = TrainState(
+        params=_pretrained_like_bn(state.params),
+        opt_state=state.opt_state,
+        step=state.step,
+    )
     step = make_train_step(model, opt)
 
     batch = {k: jnp.asarray(v) for k, v in loader.next().items()}
@@ -159,6 +193,7 @@ def _test_throughput(cfg, ds_kwargs):
         jnp.asarray(sample["data"][:1]),
         jnp.asarray(sample["window"][:1]),
     )
+    params = _pretrained_like_bn(params)
     fwd = jax.jit(
         lambda p, d, w, key: model.apply(
             cast_for_compute(p, cfg), d, w, method=FasterRCNN.forward_test,
