@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from faster_rcnn_pytorch_multimodal_tpu.config import Config
@@ -87,8 +88,61 @@ def lr_schedule(cfg: Config) -> Callable:
     return optax.piecewise_constant_schedule(cfg.train.learning_rate, boundaries)
 
 
+def safe_clip_by_global_norm(max_norm: float) -> optax.GradientTransformation:
+    """Global-norm clip that cannot overflow f32.
+
+    optax.clip_by_global_norm squares raw gradients: with early-training
+    losses of ~1e4 (random init, frozen BN) per-element grads reach ~1e17
+    and the sum of squares overflows f32 to inf, after which the
+    clip/inf = 0 rescale silently zeroes finite grads (a lost step) and
+    turns infinite grads into NaN, poisoning the parameters permanently.  Torch's clip_grad_norm_ has the same squared
+    accumulation but torch runs it in f32 on values that already came out
+    of an f32 backward — the overflow regime is reachable there too; this
+    is a robustness improvement, not a parity deviation (clipping behavior
+    is identical for all finite norms).
+
+    LAPACK-style scaled norm: take m = max |g| over the tree, compute
+    norm = m * sqrt(sum((g/m)^2)).  The scaled squares are <= 1 per
+    element so the accumulation stays finite for any finite gradients.
+    Non-finite gradients (inf/NaN anywhere) zero the whole update rather
+    than feeding NaN into momentum.
+    """
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        leaves = jax.tree_util.tree_leaves(updates)
+        m = jnp.asarray(0.0, jnp.float32)
+        for leaf in leaves:
+            m = jnp.maximum(m, jnp.max(jnp.abs(leaf.astype(jnp.float32))))
+        # Guard m == 0 (all-zero grads): scale by 1, norm comes out 0.
+        safe_m = jnp.where(m > 0, m, 1.0)
+        sumsq = jnp.asarray(0.0, jnp.float32)
+        for leaf in leaves:
+            scaled = leaf.astype(jnp.float32) / safe_m
+            sumsq = sumsq + jnp.sum(scaled * scaled)
+        norm = safe_m * jnp.sqrt(sumsq)
+        finite = jnp.isfinite(norm)
+        trim = jnp.where(
+            finite, max_norm / jnp.maximum(norm, max_norm), 0.0
+        )
+        updates = jax.tree_util.tree_map(
+            # inf * 0 = NaN, so non-finite norms zero the update explicitly
+            lambda g: jnp.where(
+                finite, g.astype(jnp.float32) * trim, 0.0
+            ).astype(g.dtype),
+            updates,
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer(params: Any, cfg: Config) -> optax.GradientTransformation:
-    transforms = [optax.clip_by_global_norm(cfg.grad_max_clip)]
+    transforms = [safe_clip_by_global_norm(cfg.grad_max_clip)]
     transforms.append(
         optax.masked(optax.add_decayed_weights(cfg.train.weight_decay),
                      decay_mask(params, cfg))
