@@ -307,11 +307,24 @@ class StaticShapes:
 @dataclass(frozen=True)
 class MeshConfig:
     """Device mesh for pjit (no reference counterpart — the reference is
-    single-GPU, SURVEY.md §2.17)."""
+    single-GPU, SURVEY.md §2.17).
 
-    # data-parallel axis size; <=0 means "all visible devices"
+    `data` x `model` devices: the batch shards over `data`; with model > 1
+    the detection-head channels shard over `model` (tensor parallelism,
+    parallel/mesh.py param_shardings) and, with `spatial`, the image height
+    additionally shards over `model` for the backbone convs (GSPMD halo
+    exchange).  Pipeline/expert axes are waived: a 100-layer CNN detector
+    has neither the >HBM parameter footprint pp exists for nor MoE blocks.
+    """
+
+    # data-parallel axis size; <=0 means "all visible devices / model"
     data: int = -1
     axis_name: str = "data"
+    # model (tensor-parallel) axis size; 1 disables the axis entirely
+    model: int = 1
+    model_axis_name: str = "model"
+    # shard the input H dim over the model axis too (spatial partitioning)
+    spatial: bool = False
 
 
 # ---------------------------------------------------------------------------

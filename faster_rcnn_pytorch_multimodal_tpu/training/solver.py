@@ -32,6 +32,7 @@ from faster_rcnn_pytorch_multimodal_tpu.parallel.mesh import (
     make_mesh,
     replicated,
     shard_batch,
+    state_shardings,
 )
 
 
@@ -197,11 +198,14 @@ class Solver:
         self.output_dir = output_dir
         self.seed = cfg.rng_seed if seed is None else seed
         # data axis must divide the batch: use the largest divisor of the
-        # batch size that fits the visible devices
-        n_dev = cfg.mesh.data if cfg.mesh.data > 0 else len(jax.devices())
+        # batch size that fits the visible devices (after reserving the
+        # model axis when tensor parallelism is on)
+        m = max(1, cfg.mesh.model)
+        avail = len(jax.devices()) // m
+        n_dev = cfg.mesh.data if cfg.mesh.data > 0 else avail
         b = train_loader.batch_size
-        n = max(d for d in range(1, min(n_dev, b) + 1) if b % d == 0)
-        self.mesh = make_mesh(cfg, jax.devices()[:n])
+        n = max(d for d in range(1, max(min(n_dev, b, avail), 1) + 1) if b % d == 0)
+        self.mesh = make_mesh(cfg, jax.devices()[: n * m])
         self._ckpt_dir = os.path.join(os.path.abspath(output_dir), "checkpoints")
         from faster_rcnn_pytorch_multimodal_tpu.training.metrics import MetricsWriter
 
@@ -446,8 +450,10 @@ class Solver:
             else None
         )
 
-        # replicate params over the mesh; batches shard on the leading dim
-        state = jax.device_put(state, replicated(self.mesh))
+        # params replicate over the data axis (and, with cfg.mesh.model > 1,
+        # the RoI-head channels shard over the model axis); batches shard on
+        # the leading dim
+        state = jax.device_put(state, state_shardings(state, self.mesh, cfg))
 
         start = int(state.step)
         last_losses: Dict[str, float] = {}
