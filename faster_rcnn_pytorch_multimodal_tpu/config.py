@@ -184,6 +184,10 @@ class TestConfig:
     rain_rate: float = 1.0
     thresh: float = 0.5
     max_dets: int = 100
+    # framework extension (OFF = reference parity): suppress final lidar
+    # detections with true rotated-footprint IoU instead of the reference's
+    # rotation-ignoring AABB NMS (ref lib/utils/filter_predictions.py:55-67)
+    rotated_nms: bool = False
 
 
 @dataclass(frozen=True)

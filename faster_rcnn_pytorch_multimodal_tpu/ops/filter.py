@@ -26,7 +26,10 @@ import numpy as np
 from faster_rcnn_pytorch_multimodal_tpu.ops.nms import nms
 
 
-@partial(jax.jit, static_argnames=("num_classes", "bbox_elem", "max_dets", "is_lidar"))
+@partial(
+    jax.jit,
+    static_argnames=("num_classes", "bbox_elem", "max_dets", "is_lidar", "rotated_nms"),
+)
 def filter_detections(
     cls_prob: jnp.ndarray,
     pred_boxes: jnp.ndarray,
@@ -38,6 +41,7 @@ def filter_detections(
     thresh: float = 0.5,
     nms_thresh: float = 0.6,
     is_lidar: bool = False,
+    rotated_nms: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """One frame.  cls_prob (S, K), pred_boxes (S, E*K), roi_valid (S,).
 
@@ -54,7 +58,13 @@ def filter_detections(
             pred_boxes, j * bbox_elem, bbox_elem, axis=1
         )
         valid = roi_valid & (scores > thresh) & (j > 0)
-        if is_lidar:
+        rotated = False
+        if is_lidar and rotated_nms:
+            # framework extension (TEST.ROTATED_NMS): true rotated-footprint
+            # suppression — 7-DoF [xc,yc,zc,l,w,h,ry] -> BEV [xc,yc,l,w,ry]
+            nms_boxes = boxes[:, jnp.array([0, 1, 3, 4, 6])]
+            rotated = True
+        elif is_lidar:
             nms_boxes = jnp.stack(
                 [
                     boxes[:, 0] - boxes[:, 3] / 2.0,
@@ -66,7 +76,9 @@ def filter_detections(
             )
         else:
             nms_boxes = boxes[:, :4]
-        keep, keep_valid = nms(nms_boxes, scores, nms_thresh, max_dets, valid=valid)
+        keep, keep_valid = nms(
+            nms_boxes, scores, nms_thresh, max_dets, valid=valid, rotated=rotated
+        )
         return {
             "boxes": boxes[keep],
             "scores": jnp.where(keep_valid, scores[keep], 0.0),

@@ -45,7 +45,7 @@ NEG_INF = -1e30
 CHUNK = 512
 
 
-@partial(jax.jit, static_argnames=("max_out", "iters", "exact"))
+@partial(jax.jit, static_argnames=("max_out", "iters", "exact", "rotated"))
 def nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -54,16 +54,20 @@ def nms(
     valid: jnp.ndarray | None = None,
     iters: int = 32,
     exact: bool = False,
+    rotated: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Hard NMS (torchvision semantics: suppress IoU > threshold, no +1).
 
     Args:
-      boxes: (N, 4) x1y1x2y2.
+      boxes: (N, 4) x1y1x2y2 — or (N, 5) [xc, yc, l, w, ry] with
+        rotated=True (true rotated-footprint suppression, ops.rotated_iou).
       scores: (N,).
       max_out: static output slot count.
       valid: optional (N,) bool; invalid lanes can never be kept.
       iters: within-chunk Jacobi iterations (chain-depth bound per chunk).
       exact: use the O(N) sequential scan instead (reference oracle).
+      rotated: boxes are rotated BEV footprints (framework extension; the
+        reference's lidar NMS is always axis-aligned).
 
     Returns:
       keep_idx: (max_out,) int32 indices into the input (0 for pad slots)
@@ -78,7 +82,7 @@ def nms(
     sv = s[order] > NEG_INF / 2
 
     if exact:
-        iou = _iou_no_plus1(sb, sb)
+        iou = _pairwise_iou(sb, sb, rotated)
 
         def body(i, carry):
             suppressed, keep = carry
@@ -93,7 +97,7 @@ def nms(
             0, n, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool))
         )
     else:
-        keep = _chunked_greedy_keep(sb, sv, iou_threshold, iters)
+        keep = _chunked_greedy_keep(sb, sv, iou_threshold, iters, rotated)
 
     # compact kept lanes (already score-ordered) into max_out slots
     rank = jnp.argsort(jnp.logical_not(keep), stable=True)[:max_out]
@@ -103,7 +107,11 @@ def nms(
 
 
 def _chunked_greedy_keep(
-    sb: jnp.ndarray, sv: jnp.ndarray, iou_threshold: float, iters: int
+    sb: jnp.ndarray,
+    sv: jnp.ndarray,
+    iou_threshold: float,
+    iters: int,
+    rotated: bool = False,
 ) -> jnp.ndarray:
     """Greedy keep mask over SCORE-SORTED boxes, chunked (module docstring).
 
@@ -116,7 +124,7 @@ def _chunked_greedy_keep(
     c = min(CHUNK, n)
     pad = (-n) % c
     if pad:
-        sb = jnp.concatenate([sb, jnp.zeros((pad, 4), sb.dtype)], 0)
+        sb = jnp.concatenate([sb, jnp.zeros((pad, sb.shape[1]), sb.dtype)], 0)
         sv = jnp.concatenate([sv, jnp.zeros((pad,), bool)], 0)
     m = n + pad
     lane = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
@@ -127,7 +135,7 @@ def _chunked_greedy_keep(
         keep, alive = carry
         col0 = k * c
         rows = jax.lax.dynamic_slice_in_dim(sb, col0, c, 0)
-        iou_cr = _iou_no_plus1(rows, sb)  # (C, M)
+        iou_cr = _pairwise_iou(rows, sb, rotated)  # (C, M)
         iou_cc = jax.lax.dynamic_slice(iou_cr, (0, col0), (c, c))
         alive_c = jax.lax.dynamic_slice_in_dim(alive, col0, c, 0)
         # within-chunk suppression: row i suppresses later row j when kept
@@ -147,6 +155,16 @@ def _chunked_greedy_keep(
         0, m // c, outer, (jnp.zeros((m,), bool), sv)
     )
     return keep[:n]
+
+
+def _pairwise_iou(a: jnp.ndarray, b: jnp.ndarray, rotated: bool) -> jnp.ndarray:
+    if rotated:
+        from faster_rcnn_pytorch_multimodal_tpu.ops.rotated_iou import (
+            rotated_iou_matrix,
+        )
+
+        return rotated_iou_matrix(a, b)
+    return _iou_no_plus1(a, b)
 
 
 def _iou_no_plus1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -388,6 +388,7 @@ class Solver:
                 thresh=0.5,
                 nms_thresh=cfg.test.nms_thresh,
                 is_lidar=cfg.net_type == "lidar",
+                rotated_nms=cfg.test.rotated_nms,
             )
             uc = {
                 k: np.asarray(v[i])

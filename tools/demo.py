@@ -107,6 +107,7 @@ def main(argv=None):
         num_classes=num_classes, bbox_elem=cfg.num_bbox_elem,
         max_dets=cfg.test.max_dets, thresh=args.thresh,
         nms_thresh=cfg.test.nms_thresh, is_lidar=is_lidar,
+        rotated_nms=cfg.test.rotated_nms,
     )
     uc = {k: np.asarray(v[0]) for k, v in out.get("uncertainties", {}).items()}
     boxes_j, uc_j = to_per_class_lists(filt, uc, num_classes, cfg.num_bbox_elem)

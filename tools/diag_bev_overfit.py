@@ -219,6 +219,7 @@ def main():
             thresh=0.0,
             nms_thresh=cfg.test.nms_thresh,
             is_lidar=True,
+            rotated_nms=cfg.test.rotated_nms,
         )
         keep = np.asarray(filt["valid"][1]).astype(bool)
         boxes7 = np.asarray(filt["boxes"][1])[keep]

@@ -134,6 +134,7 @@ def main(argv=None):
                 thresh=args.thresh,
                 nms_thresh=cfg.test.nms_thresh,
                 is_lidar=is_lidar,
+                rotated_nms=cfg.test.rotated_nms,
             )
             uc = {k: np.asarray(v[i]) for k, v in out.get("uncertainties", {}).items()}
             boxes_j, _uc_j = to_per_class_lists(filt, uc, num_classes, bbox_elem)
