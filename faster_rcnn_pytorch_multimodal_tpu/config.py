@@ -105,6 +105,12 @@ class TrainConfig:
     truncated: bool = False
     bias_decay: bool = False
     use_gt: bool = False
+    # Framework extension (default off = reference parity, ref
+    # proposal_target_layer.py:35-41 appends EXACT GT boxes): jitter the
+    # GT corners by ~3% of the box size when appending them to the RoI
+    # pool, so the classifier never trains on pixel-perfect boxes.  Wins
+    # on the synthetic benchmark; see COMPONENTS.md deviations.
+    use_gt_noise: bool = False
     snapshot_kept: int = 30
     summary_interval: int = 15
     scales: Tuple[float, ...] = (1.0,)

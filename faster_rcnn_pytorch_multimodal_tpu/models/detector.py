@@ -677,18 +677,24 @@ class FasterRCNN(nn.Module):
             # add GT boxes to the candidate pool (ref proposal_target_layer
             # .py:35-41): guarantees foreground RoIs while the RPN is
             # immature; anchors_3d slots carry the true 7-DoF boxes.
-            # The corners are jittered by ~3% of the box size — training the
-            # classifier on pixel-perfect RoIs makes it under-score real
-            # proposals at test time (observed on the synthetic benchmark).
-            gw = gt_bev[..., 2] - gt_bev[..., 0]
-            gh = gt_bev[..., 3] - gt_bev[..., 1]
-            size = jnp.stack([gw, gh, gw, gh], axis=-1)
-            noise = (
-                jax.random.normal(jax.random.fold_in(rng, 7), gt_bev[..., :4].shape)
-                * 0.03
-                * size
-            )
-            rois = jnp.concatenate([rois, gt_bev[..., :4] + noise], axis=1)
+            # With TRAIN.USE_GT_NOISE (extension, default off = exact-GT
+            # reference parity) the corners are jittered by ~3% of the box
+            # size — training the classifier on pixel-perfect RoIs makes it
+            # under-score real proposals at test time (observed on the
+            # synthetic benchmark).
+            gt_boxes4 = gt_bev[..., :4]
+            if c.train.use_gt_noise:
+                gw = gt_bev[..., 2] - gt_bev[..., 0]
+                gh = gt_bev[..., 3] - gt_bev[..., 1]
+                size = jnp.stack([gw, gh, gw, gh], axis=-1)
+                gt_boxes4 = gt_boxes4 + (
+                    jax.random.normal(
+                        jax.random.fold_in(rng, 7), gt_boxes4.shape
+                    )
+                    * 0.03
+                    * size
+                )
+            rois = jnp.concatenate([rois, gt_boxes4], axis=1)
             roi_scores = jnp.concatenate(
                 [roi_scores, jnp.zeros(gt_mask.shape)], axis=1
             )

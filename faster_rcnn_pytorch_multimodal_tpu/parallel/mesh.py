@@ -38,6 +38,10 @@ def make_mesh(cfg: Config, devices: Optional[Sequence[jax.Device]] = None) -> Me
     if devices is None:
         devices = jax.devices()
     m = max(1, cfg.mesh.model)
+    if len(devices) < m:
+        raise ValueError(
+            f"mesh.model={m} needs >= {m} devices, have {len(devices)}"
+        )
     # an explicit device list wins over cfg.mesh.data: callers (the solver)
     # pre-truncate to a batch divisor, and reshaping their shorter list to a
     # larger cfg value would crash
@@ -76,11 +80,12 @@ def shard_batch(batch: Any, mesh: Mesh, cfg: Config) -> Any:
     rep = replicated(mesh)
     m = _model_axis_size(mesh, cfg)
 
-    def pick(k, v):
+    def pick(path, v):
         if not getattr(v, "ndim", 0):
             return rep
+        names = _path_names(path)
         if (
-            k == "data"
+            "data" in names
             and cfg.mesh.spatial
             and m > 1
             and v.ndim >= 2
@@ -91,7 +96,8 @@ def shard_batch(batch: Any, mesh: Mesh, cfg: Config) -> Any:
             )
         return sh
 
-    return {k: jax.device_put(v, pick(k, v)) for k, v in batch.items()}
+    shardings = jax.tree_util.tree_map_with_path(pick, batch)
+    return jax.tree.map(jax.device_put, batch, shardings)
 
 
 def _path_names(path) -> list:

@@ -348,3 +348,41 @@ def test_mc_dropout_with_live_bn():
     )
     assert np.isfinite(np.asarray(out["cls_prob"])).all()
     assert "e_cls_var" in out["uncertainties"]
+
+
+def test_use_gt_noise_gate():
+    """TRAIN.USE_GT appends GT boxes to the RoI pool.  Default parity:
+    EXACT corners (ref proposal_target_layer.py:35-41); the extension flag
+    TRAIN.USE_GT_NOISE jitters them ~3% (see COMPONENTS.md deviations).
+    Both settings run; with the same rng the jitter must change the
+    second-stage losses while exact mode equals itself."""
+    base = cfg_from_list(_image_cfg(), ("TRAIN.USE_GT", "True"))
+    assert not base.train.use_gt_noise, "parity default must be exact GT"
+    noisy = cfg_from_list(base, ("TRAIN.USE_GT_NOISE", "True"))
+
+    ds = SyntheticDataset(base, num_frames=2, num_classes=2, image_hw=(128, 192))
+    loader = BatchLoader(ds, base, batch_size=2, seed=0, augment=False)
+    b = {k: jnp.asarray(v) for k, v in loader.peek().items()}
+    rng = jax.random.PRNGKey(0)
+
+    def losses_for(cfg):
+        model = FasterRCNN(cfg=cfg, num_classes=2)
+        params = model.init(
+            {"params": jax.random.PRNGKey(1), "dropout": rng},
+            b["data"][:1], b["window"][:1],
+        )
+        return model.apply(
+            params, b["data"], b["gt_boxes"], b["gt_mask"], b["window"], rng,
+            method=FasterRCNN.forward_train,
+            rngs={"dropout": rng, "sample": rng},
+        )
+
+    l_exact = losses_for(base)
+    l_exact2 = losses_for(base)
+    l_noisy = losses_for(noisy)
+    for l in (l_exact, l_noisy):
+        assert np.isfinite(float(l["total_loss"]))
+    np.testing.assert_allclose(
+        float(l_exact["total_loss"]), float(l_exact2["total_loss"]), rtol=1e-6
+    )
+    assert float(l_exact["total_loss"]) != float(l_noisy["total_loss"])
