@@ -135,6 +135,52 @@ def _throughput(cfg, ds_kwargs):
     return _timed(run_iters)
 
 
+def _e2e_throughput(cfg, ds_kwargs):
+    """Sustained train throughput with the HOST PIPELINE IN THE LOOP:
+    every step consumes a fresh augmented batch from BatchLoader's
+    prefetcher (the reference's data_layer_generator role).  Device-only
+    numbers (_throughput) re-step one cached batch; this is the number a
+    real training run sees — loader assembly, H2D upload, and the device
+    step all overlapping."""
+    import jax
+    import jax.numpy as jnp
+
+    from faster_rcnn_pytorch_multimodal_tpu.data import BatchLoader, SyntheticDataset
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import FasterRCNN, TrainState
+    from faster_rcnn_pytorch_multimodal_tpu.training.solver import (
+        create_train_state,
+        make_train_step,
+    )
+
+    ds = SyntheticDataset(cfg, num_frames=64, **ds_kwargs)
+    loader = BatchLoader(ds, cfg, batch_size=BATCH, seed=0, prefetch=8)
+    model = FasterRCNN(cfg=cfg, num_classes=2)
+    rng = jax.random.PRNGKey(0)
+    state, opt = create_train_state(model, cfg, rng, loader.peek())
+    state = TrainState(
+        params=_pretrained_like_bn(state.params),
+        opt_state=state.opt_state,
+        step=state.step,
+    )
+    step = make_train_step(model, opt)
+
+    loader.start()
+    try:
+        for _ in range(WARMUP):
+            state, losses = step(state, loader.next(), rng)
+        _sync(losses["total_loss"])
+
+        def run_iters(n, state=state):
+            losses = None
+            for _ in range(n):
+                state, losses = step(state, loader.next(), rng)
+            return losses["total_loss"]
+
+        return _timed(run_iters)
+    finally:
+        loader.kill()
+
+
 def image_config():
     from faster_rcnn_pytorch_multimodal_tpu.config import cfg_from_list, default_config
 
@@ -283,6 +329,12 @@ def main():
         _run(results, "image_fps", _throughput, image_config(), img_ds)
     if which in ("bev", "both", "all"):
         _run(results, "bev_fps", _throughput, bev_config(), dict(num_classes=2))
+    if which in ("e2e", "all"):
+        _run(extras, "e2e_image_fps", _e2e_throughput, image_config(), img_ds)
+        _run(
+            extras, "e2e_bev_fps", _e2e_throughput, bev_config(),
+            dict(num_classes=2),
+        )
     if which in ("fpn", "all"):
         _run(extras, "fpn_fps", _throughput, fpn_config(), img_ds)
     if which in ("rpn", "all"):

@@ -4,12 +4,24 @@ The reference builds its nuScenes imdb through the nuscenes-devkit and
 projects 3D annotations into CAM_FRONT 2D boxes
 (ref lib/datasets/nuscenes_imdb.py:39-523, _anno_to_2d_bbox:254).  This
 implementation reads the v1.0 JSON tables directly (sample, sample_data,
-sample_annotation, calibrated_sensor, ego_pose, category, attribute) and
-performs the same projection chain:
+sample_annotation, calibrated_sensor, ego_pose, sensor) and performs the
+same pipeline:
 
-  global box -> ego frame (sample ego_pose) -> sensor frame
-  (calibrated_sensor) -> image plane (camera_intrinsic), clipped, with
-  behind-camera and out-of-frame boxes dropped.
+  * projection: global box -> ego frame (ego_pose) -> sensor frame
+    (calibrated_sensor) -> image plane (camera_intrinsic); corners behind
+    the camera dropped, extent clipped to the canvas (the reference
+    computes the convex-hull/canvas intersection via shapely; for an
+    axis-aligned canvas the bounding box of that intersection equals the
+    clipped corner extent, so no polygon library is needed),
+  * annotation filters (ref :355-357): visibility_token <= 1 or
+    num_lidar_pts < 1 dropped,
+  * category remap (ref :364-377): the four pedestrian subtypes ->
+    human.pedestrian, emergency vehicles -> vehicle.car, anything outside
+    the class list -> dontcare (kept as a dc region),
+  * little-clip aspect filters (ref :385-392): car/bicycle boxes that are
+    too narrow+tall are dropped,
+  * occlusion removal (ref :419-452): a GT fully inside another GT (or a
+    dc box) that is >0.3 m nearer is removed.
 
 Layout: <data_dir>/nuscenes/{v1.0-trainval|v1.0-mini}/*.json + samples/.
 """
@@ -26,12 +38,45 @@ from faster_rcnn_pytorch_multimodal_tpu.config import Config
 from faster_rcnn_pytorch_multimodal_tpu.data.datasets import register
 from faster_rcnn_pytorch_multimodal_tpu.data.db_base import DetectionDB
 
-# nuScenes detection classes -> our training classes (vehicle focus,
-# matching the reference's car/pedestrian/bicycle selection,
-# ref nuscenes_imdb.py class list)
-_CLASS_MAP = {
-    "vehicle.car": "car",
+# ref nuscenes_imdb.py:55-59
+_CLASSES = ("dontcare", "vehicle.car", "human.pedestrian", "vehicle.bicycle")
+
+# ref nuscenes_imdb.py:364-377 — explicit subtype list (wheelchair/
+# stroller/personal_mobility fall through to dontcare upstream too)
+_PED_SUBTYPES = {
+    "human.pedestrian.adult",
+    "human.pedestrian.child",
+    "human.pedestrian.construction_worker",
+    "human.pedestrian.police_officer",
 }
+_EMERGENCY = {"vehicle.emergency.ambulance", "vehicle.emergency.police"}
+
+# ref nuscenes_imdb.py:347-349
+_MIN_THRESH_CAR = 40
+_MIN_THRESH_BIKE = 20
+
+
+def remap_category(name: str) -> str:
+    """ref nuscenes_imdb.py:364-377."""
+    if name in _PED_SUBTYPES:
+        return "human.pedestrian"
+    if name in _EMERGENCY:
+        return "vehicle.car"
+    return name if name in _CLASSES else "dontcare"
+
+
+def aspect_filtered(cat: str, x1, y1, x2, y2) -> bool:
+    """True if the box fails the reference's little-clip filters
+    (ref nuscenes_imdb.py:385-392)."""
+    w = max(x2 - x1, 1e-6)
+    ar = (y2 - y1) / w
+    if ar > 5.0:
+        return True
+    if cat == "vehicle.car" and ((w < _MIN_THRESH_CAR and ar > 2) or ar > 3.5):
+        return True
+    if cat == "vehicle.bicycle" and (w < _MIN_THRESH_BIKE and ar > 2.0):
+        return True
+    return False
 
 
 def _quat_to_rot(q) -> np.ndarray:
@@ -46,7 +91,9 @@ def _quat_to_rot(q) -> np.ndarray:
 
 
 def _box_corners(center, wlh, rot: np.ndarray) -> np.ndarray:
-    """(8, 3) corners of a nuScenes box (w, l, h ordering)."""
+    """(8, 3) corners of a nuScenes box (w, l, h ordering); the first four
+    are the +l/2 'forward' face (the devkit's corners() layout, which the
+    reference's near-face depth heuristic relies on, ref :276-277)."""
     w, l, h = wlh
     x = l / 2 * np.array([1, 1, 1, 1, -1, -1, -1, -1])
     y = w / 2 * np.array([1, -1, -1, 1, 1, -1, -1, 1])
@@ -56,7 +103,7 @@ def _box_corners(center, wlh, rot: np.ndarray) -> np.ndarray:
 
 
 class NuScenesDB(DetectionDB):
-    _classes = ("dontcare", "car")
+    _classes = _CLASSES
 
     def __init__(self, cfg: Config, mode: str, version: Optional[str] = None):
         super().__init__("nuscenes", cfg, mode)
@@ -105,24 +152,59 @@ class NuScenesDB(DetectionDB):
             intrinsic = np.asarray(cs["camera_intrinsic"], np.float64)
             w_img, h_img = sd["width"], sd["height"]
 
-            boxes, classes = [], []
+            boxes, classes, dists = [], [], []
+            boxes_dc, dists_dc = [], []
             for a in anns_by_sample.get(sample["token"], []):
-                cat = _CLASS_MAP.get(a["category_name"])
-                if cat is None:
+                # ref :355-357 annotation filters
+                if int(a.get("visibility_token", 4) or 4) <= 1:
                     continue
-                bb = self._project_box(a, pose, cs, intrinsic, w_img, h_img)
-                if bb is None:
+                if int(a.get("num_lidar_pts", 1)) < 1:
+                    continue
+                proj = self._project_box(a, pose, cs, intrinsic, w_img, h_img)
+                if proj is None:
+                    continue
+                bb, dist = proj
+                cat = remap_category(a["category_name"])
+                if cat == "dontcare":
+                    boxes_dc.append(bb)
+                    dists_dc.append(dist)
+                    continue
+                if aspect_filtered(cat, *bb):
                     continue
                 boxes.append(bb)
                 classes.append(self._classes.index(cat))
-            if not boxes:
-                continue
+                dists.append(dist)
+
+            # occlusion removal (ref :419-452): drop a GT fully inside a
+            # >0.3 m nearer GT or dc box (near-face depth, dists[1])
+            keep = []
+            for i in range(len(boxes)):
+                remove = False
+                for js, jd in ((boxes, dists), (boxes_dc, dists_dc)):
+                    for j in range(len(js)):
+                        if js is boxes and i == j:
+                            continue
+                        inside = (
+                            boxes[i][0] > js[j][0]
+                            and boxes[i][1] > js[j][1]
+                            and boxes[i][2] < js[j][2]
+                            and boxes[i][3] < js[j][3]
+                        )
+                        if inside and (dists[i][1] - jd[j][1]) > 0.3:
+                            remove = True
+                if not remove:
+                    keep.append(i)
+            boxes = [boxes[i] for i in keep]
+            classes = [classes[i] for i in keep]
+
+            if not boxes and mode == "train":
+                continue  # ref remove_without_gt (val/test keep empties)
             roidb.append(
                 {
                     "filename": os.path.join(self._root, sd["filename"]),
                     "frame_id": sample["token"],
-                    "boxes": np.asarray(boxes, np.float32),
-                    "boxes_dc": np.zeros((0, 4), np.float32),
+                    "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+                    "boxes_dc": np.asarray(boxes_dc, np.float32).reshape(-1, 4),
                     "gt_classes": np.asarray(classes, np.int32),
                     "ignore": np.zeros(len(boxes), bool),
                     "difficulty": np.zeros(len(boxes), np.int32),
@@ -134,29 +216,35 @@ class NuScenesDB(DetectionDB):
 
     @staticmethod
     def _project_box(ann, pose, cs, intrinsic, w_img, h_img):
-        """global 3D ann -> clipped CAM_FRONT 2D box
-        (ref nuscenes_imdb.py:_anno_to_2d_bbox:254)."""
+        """global 3D ann -> (clipped CAM_FRONT 2D box, (center_dist,
+        near_face_depth)) or None (ref nuscenes_imdb.py:_anno_to_2d_bbox:254)."""
         corners = _box_corners(
             ann["translation"], ann["size"], _quat_to_rot(ann["rotation"])
         )
         # global -> ego
         r_e = _quat_to_rot(pose["rotation"])
         corners = (corners - np.asarray(pose["translation"])) @ r_e
+        center = (np.asarray(ann["translation"]) - np.asarray(pose["translation"])) @ r_e
         # ego -> sensor
         r_s = _quat_to_rot(cs["rotation"])
         corners = (corners - np.asarray(cs["translation"])) @ r_s
-        if (corners[:, 2] < 0.1).all():
+        center = (center - np.asarray(cs["translation"])) @ r_s
+        dist = (float(np.linalg.norm(center)), float(corners[:4, 2].mean()))
+        in_front = corners[:, 2] > 0.1
+        if not in_front.any():
             return None  # fully behind the camera
-        corners = corners[corners[:, 2] > 0.1]
+        corners = corners[in_front]
         uv = corners @ intrinsic.T
         uv = uv[:, :2] / uv[:, 2:3]
         x1, y1 = uv.min(0)
         x2, y2 = uv.max(0)
+        if x2 < 0 or x1 > w_img - 1 or y2 < 0 or y1 > h_img - 1:
+            return None  # no canvas intersection (ref :292-303)
         x1, x2 = np.clip([x1, x2], 0, w_img - 1)
         y1, y2 = np.clip([y1, y2], 0, h_img - 1)
         if x2 - x1 < 2 or y2 - y1 < 2:
             return None
-        return [float(x1), float(y1), float(x2), float(y2)]
+        return [float(x1), float(y1), float(x2), float(y2)], dist
 
     def _load_frame_data(self, entry: Dict) -> np.ndarray:
         import cv2

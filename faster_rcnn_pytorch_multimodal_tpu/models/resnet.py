@@ -222,10 +222,16 @@ class Bottleneck(nn.Module):
             identity = _conv(
                 self.planes * 4, 1, self.downsample_stride, name="downsample_conv"
             )(x)
-            if self.batchnorm_en:
-                identity = FrozenBatchNorm(
-                    self.planes * 4, name="downsample_bn", **bn
-                )(identity, ubs)
+            # NOT gated on batchnorm_en: the reference's bypass only skips
+            # bn1/bn2/bn3 inside the block body (ref resnet.py:103-118);
+            # the downsample Sequential is built by _make_layer with its
+            # norm_layer unconditionally (ref resnet.py:193-197) and stays
+            # in the forward path even when batchnorm_en=False — proven
+            # against the reference module itself in
+            # tests/test_reference_module_parity.py::test_reference_bn_bypass_layer4.
+            identity = FrozenBatchNorm(
+                self.planes * 4, name="downsample_bn", **bn
+            )(identity, ubs)
 
         out = nn.relu(out + identity)
         if self.dropout_en:

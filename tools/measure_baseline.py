@@ -1,0 +1,200 @@
+"""Put the bench denominator on measured/bounded ground (VERDICT r3 #7).
+
+The reference publishes NO throughput numbers (BASELINE.md): it prints
+s/iter per run (ref lib/model/train_val.py:465-468) but never records it.
+bench.py's REFERENCE_FPS=4.0 was an estimate.  This tool produces two
+defensible anchors and writes them to BASELINE_MEASURED.json:
+
+1. torch_cpu_fps — a MEASURED single-frame res101 train-step proxy built
+   from the reference's OWN `lib/nets/resnet.py` (ResNetWrapper with the
+   caffe-stride surgery) plus the SURVEY §2.1 head obligations the absent
+   network.py implies (3x3 RPN conv + 1x1 cls/bbox heads, 256-RoI 7x7
+   pooled layer4 tail, cls/bbox FCs, CE + smooth-L1, SGD-momentum).
+   torch is CPU-only in this environment, so this grounds the MODEL COST,
+   not the GPU rate.
+
+2. ref_gpu_fps_bound — an ANALYTIC upper bound on the reference's
+   single-GPU rate: the XLA-compiled cost analysis of our bench image
+   train step gives FLOPs/frame for the same model math; the reference
+   runs fp32 torch (no AMP anywhere in its tree) on a 2019-class card
+   (compute_canada: V100, 15.7 fp32 TFLOP/s peak).  Even at 100% peak,
+   fps <= peak / flops_per_frame.  Typical torch fp32 utilization is
+   30-50%, which brackets the honest estimate REFERENCE_FPS=4.0.
+
+Usage: python tools/measure_baseline.py [--iters 3] [--skip-flops]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REF_LIB = "/root/reference/lib"
+V100_FP32_TFLOPS = 15.7  # published peak, fp32 CUDA cores
+FRAME_HW = (512, 960)  # the bench image config's frame (Waymo cam @ 0.5)
+
+
+def _shim_easydict():
+    if "easydict" in sys.modules:
+        return
+
+    class EasyDict(dict):
+        def __init__(self, d=None, **kw):
+            super().__init__()
+            for k, v in dict(d or {}, **kw).items():
+                setattr(self, k, v)
+
+        def __setattr__(self, k, v):
+            if isinstance(v, dict) and not isinstance(v, EasyDict):
+                v = EasyDict(v)
+            super().__setattr__(k, v)
+            super().__setitem__(k, v)
+
+        __setitem__ = __setattr__
+
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k)
+
+    m = types.ModuleType("easydict")
+    m.EasyDict = EasyDict
+    sys.modules["easydict"] = m
+
+
+def measure_torch_cpu(iters: int = 3) -> dict:
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    _shim_easydict()
+    if REF_LIB not in sys.path:
+        sys.path.append(REF_LIB)
+    import nets.resnet as ref_resnet  # the reference's own module
+
+    torch.manual_seed(0)
+    resnet = ref_resnet.resnet101(pretrained=False)  # ResNetWrapper surgery
+    resnet.train()
+
+    num_classes, rois_n = 2, 256
+    rpn = nn.Conv2d(1024, 512, 3, padding=1)
+    rpn_cls = nn.Conv2d(512, 9 * 2, 1)
+    rpn_bbox = nn.Conv2d(512, 9 * 4, 1)
+    cls_fc = nn.Linear(2048, num_classes)
+    bbox_fc = nn.Linear(2048, num_classes * 4)
+    params = (
+        list(resnet.parameters())
+        + list(rpn.parameters()) + list(rpn_cls.parameters())
+        + list(rpn_bbox.parameters())
+        + list(cls_fc.parameters()) + list(bbox_fc.parameters())
+    )
+    opt = torch.optim.SGD(params, lr=1e-3, momentum=0.9)
+
+    h, w = FRAME_HW
+    x = torch.randn(1, 3, h, w)
+
+    def step():
+        opt.zero_grad()
+        c2 = resnet.layer1(resnet.maxpool(resnet.relu(resnet.bn1(resnet.conv1(x)))))
+        c4 = resnet.layer3(resnet.layer2(c2))
+        r = F.relu(rpn(c4))
+        rpn_ce = F.cross_entropy(
+            rpn_cls(r).permute(0, 2, 3, 1).reshape(-1, 2),
+            torch.zeros(r.shape[2] * r.shape[3] * 9, dtype=torch.long),
+        )
+        rpn_l1 = rpn_bbox(r).abs().mean()
+        # 256 pooled 7x7 RoIs through the stride-1 layer4 tail (the C4
+        # second stage; network.py is absent upstream — SURVEY §2.1)
+        pooled = c4.new_zeros(rois_n, 1024, 7, 7).normal_()
+        c5 = resnet.layer4(pooled).mean(dim=(2, 3))
+        ce = F.cross_entropy(cls_fc(c5), torch.zeros(rois_n, dtype=torch.long))
+        l1 = bbox_fc(c5).abs().mean()
+        loss = rpn_ce + rpn_l1 + ce + l1
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    step()  # warm caches / allocator
+    t0 = time.time()
+    for _ in range(iters):
+        step()
+    dt = (time.time() - t0) / iters
+    return {
+        "torch_cpu_s_per_iter": round(dt, 3),
+        "torch_cpu_fps": round(1.0 / dt, 4),
+        "torch_threads": torch.get_num_threads(),
+        "note": "reference lib/nets/resnet.py res101 + SURVEY-§2.1 heads, "
+                f"1 frame {FRAME_HW[0]}x{FRAME_HW[1]}, fwd+bwd+SGD, CPU",
+    }
+
+
+def flops_bound() -> dict:
+    """XLA cost analysis of the bench image train step -> FLOPs/frame ->
+    V100 fp32 upper bound on the reference's rate."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    from faster_rcnn_pytorch_multimodal_tpu.data import (
+        BatchLoader,
+        SyntheticDataset,
+    )
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import FasterRCNN
+    from faster_rcnn_pytorch_multimodal_tpu.training.solver import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = bench.image_config()
+    ds = SyntheticDataset(cfg, num_frames=8, num_classes=2, image_hw=FRAME_HW)
+    loader = BatchLoader(ds, cfg, batch_size=bench.BATCH, seed=0)
+    model = FasterRCNN(cfg=cfg, num_classes=2)
+    rng = jax.random.PRNGKey(0)
+    state, opt = create_train_state(model, cfg, rng, loader.peek())
+    step = make_train_step(model, opt)
+    batch = {k: jnp.asarray(v) for k, v in loader.next().items()}
+    compiled = jax.jit(step).lower(state, batch, rng).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops = float(ca.get("flops", 0.0))
+    per_frame = flops / bench.BATCH
+    bound = V100_FP32_TFLOPS * 1e12 / per_frame if per_frame else None
+    return {
+        "step_flops": flops,
+        "flops_per_frame": per_frame,
+        "ref_gpu_fps_bound": round(bound, 2) if bound else None,
+        "note": "bench image-config train step FLOPs (XLA cost analysis); "
+                "bound = 15.7 fp32 TFLOP/s (V100 peak) / FLOPs-per-frame — "
+                "the reference is fp32 torch, batch 1 "
+                "(ref minibatch.py:111)",
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--skip-flops", action="store_true")
+    ap.add_argument("--out", default="BASELINE_MEASURED.json")
+    args = ap.parse_args()
+
+    out = {"torch_cpu": measure_torch_cpu(args.iters)}
+    print(json.dumps(out["torch_cpu"], indent=1))
+    if not args.skip_flops:
+        out["flops"] = flops_bound()
+        print(json.dumps(out["flops"], indent=1))
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,340 @@
+"""Detection-quality evidence runs (synthetic, fixed seed) -> JSON artifact.
+
+Round-4 evidence tooling (VERDICT r3 next #1/#4/#9): one command produces
+driver-visible quality numbers for both detector families so quality
+regressions are as loud as f/s regressions:
+
+  * image mode — the image-side mirror of the round-3 BEV methodology:
+    from-scratch res18 on N synthetic frames, detection mAP@0.5 (2d,
+    greedy evaluate_class — the same matcher the dataset evals use),
+    RPN proposal recall@0.5, and a false-positive taxonomy
+    (duplicate / localization / background).
+  * bev mode — the round-3 recipe (substride 4, AVOD thresholds, live BN)
+    with the same curve + taxonomy, extended to --iters.
+  * --overfit — one-frame DEBUG.FREEZE_DB overfit; done-bar is mAP ~= 1.0.
+
+Evaluation runs through the REAL test path: forward_test -> ops.filter.
+filter_detections (thresh+NMS+per-class lists) -> evaluation.eval_utils.
+evaluate_class.  TEST.SCALES is pinned to TRAIN.SCALES (the round-3
+eval-scale artifact).
+
+Usage:
+  python tools/quality_run.py --mode image --iters 2000 --out output/quality/image.json
+  python tools/quality_run.py --emit QUALITY_r4.json     # the full fixed suite
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def build_cfg(mode: str, net: str, lr: float, overfit: bool):
+    from faster_rcnn_pytorch_multimodal_tpu.config import (
+        cfg_from_list,
+        default_config,
+    )
+
+    common = (
+        "NET_VARIANT", net,
+        "RESNET.FIXED_BLOCKS", "-1",  # from scratch: live BN (STATUS.md r3)
+        "TRAIN.LEARNING_RATE", str(lr),
+        "TRAIN.SNAPSHOT_ITERS", "1000000",  # no snapshots in quality runs
+    )
+    if overfit:
+        common += ("DEBUG.FREEZE_DB", "True")
+    if mode == "bev":
+        # the round-3 from-scratch BEV recipe (STATUS.md "BEV convergence")
+        return cfg_from_list(
+            default_config(),
+            ("NET_TYPE", "lidar") + common + (
+                "TRAIN.SCALES", "(0.5,)",
+                "TEST.SCALES", "(0.5,)",
+                "TRAIN.RPN_POST_NMS_TOP_N", "512",
+                "TEST.RPN_POST_NMS_TOP_N", "300",
+                "STATIC.NMS_PRE_TRAIN", "1024",
+                "STATIC.NMS_PRE_TEST", "1024",
+                "STATIC.MAX_GT", "16",
+                "STATIC.MAX_POINTS", "16384",
+                "LIDAR.ANCHOR_SUBSTRIDE", "4",
+                "LIDAR.RPN_POSITIVE_OVERLAP", "0.45",
+                "LIDAR.RPN_NEGATIVE_OVERLAP", "0.3",
+            ),
+        )
+    return cfg_from_list(
+        default_config(),
+        ("NET_TYPE", "image") + common + (
+            "PIXEL_STDDEVS", "[60.,60.,60.]",
+            "TRAIN.SCALES", "(1.0,)",
+            "TEST.SCALES", "(1.0,)",
+            "TRAIN.RPN_POST_NMS_TOP_N", "512",
+            "TEST.RPN_POST_NMS_TOP_N", "300",
+            "STATIC.NMS_PRE_TRAIN", "2048",
+            "STATIC.NMS_PRE_TEST", "2048",
+            "STATIC.MAX_GT", "16",
+            "ANCHOR_SCALES", "[2,4,8,16]",
+        ),
+    )
+
+
+def fp_taxonomy(fps: list, gt_frames: dict, iou_fn, thresh: float) -> dict:
+    """Classify false positives (the round-3 BEV analysis, STATUS.md):
+    duplicate (IoU>=thresh with an already-matched GT), localization
+    (0.1 <= IoU < thresh — under-trained regression: no NMS flavor can
+    suppress these), background (IoU < 0.1)."""
+    out = {"duplicate": 0, "localization": 0, "background": 0}
+    for det in fps:
+        g = gt_frames.get(det["frame_id"])
+        if g is None or len(g["boxes"]) == 0:
+            out["background"] += 1
+            continue
+        best = float(np.max(iou_fn(g["boxes"], det["bbox"])))
+        if best >= thresh:
+            out["duplicate"] += 1
+        elif best >= 0.1:
+            out["localization"] += 1
+        else:
+            out["background"] += 1
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["image", "bev"], default="image")
+    ap.add_argument("--net", default="res18")
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--eval_every", type=int, default=500)
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=0.004)
+    ap.add_argument("--thresh", type=float, default=0.05)
+    ap.add_argument("--overfit", action="store_true")
+    ap.add_argument("--rotated_nms", action="store_true",
+                    help="bev: TEST.ROTATED_NMS at 0.3 (the r3 quality winner)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None, help="write the run JSON here")
+    ap.add_argument("--emit", default=None,
+                    help="run the fixed evidence suite and write this artifact")
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.emit:
+        return emit_suite(args.emit)
+    result = run_one(args)
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {args.out}")
+    return result
+
+
+def run_one(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from faster_rcnn_pytorch_multimodal_tpu.config import cfg_from_list
+    from faster_rcnn_pytorch_multimodal_tpu.data import (
+        BatchLoader,
+        SyntheticDataset,
+    )
+    from faster_rcnn_pytorch_multimodal_tpu.evaluation.eval_utils import (
+        evaluate_class,
+        iou as eval_iou,
+    )
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import (
+        FasterRCNN,
+        cast_for_compute,
+    )
+    from faster_rcnn_pytorch_multimodal_tpu.ops.filter import (
+        filter_detections,
+        to_per_class_lists,
+    )
+    from faster_rcnn_pytorch_multimodal_tpu.ops.iou import (
+        bbox_3d_to_bev_aabb,
+        bbox_overlaps,
+    )
+    from faster_rcnn_pytorch_multimodal_tpu.training.solver import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = build_cfg(args.mode, args.net, args.lr, args.overfit)
+    if args.rotated_nms:
+        cfg = cfg_from_list(
+            cfg, ("TEST.ROTATED_NMS", "True", "TEST.NMS_THRESH", "0.3")
+        )
+    is_lidar = cfg.net_type == "lidar"
+    bbox_elem = cfg.num_bbox_elem
+    eval_type = "3d" if is_lidar else "2d"
+    iou_t = 0.5
+
+    ds_kwargs = dict(num_classes=2, seed=args.seed)
+    if not is_lidar:
+        ds_kwargs["image_hw"] = (512, 960)
+    n_frames = 1 if args.overfit else args.frames
+    ds = SyntheticDataset(cfg, num_frames=max(n_frames, args.batch_size),
+                          **ds_kwargs)
+    loader = BatchLoader(ds, cfg, batch_size=args.batch_size,
+                         seed=args.seed, augment=False)
+    val_loader = BatchLoader(ds, cfg, batch_size=args.batch_size,
+                             augment=False, shuffle=False, seed=args.seed)
+
+    model = FasterRCNN(cfg=cfg, num_classes=2)
+    rng = jax.random.PRNGKey(args.seed)
+    state, opt = create_train_state(model, cfg, rng, loader.peek())
+    step = make_train_step(model, opt)
+    fwd = jax.jit(
+        lambda p, d, w: model.apply(
+            cast_for_compute(p, cfg), d, w, method=FasterRCNN.forward_test,
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+    )
+
+    # fixed val set: every dataset frame once (network space, un-augmented)
+    n_eval = 1 if args.overfit else len(ds)
+    gt_frames = {}
+    gt_bev_frames = {}  # lidar: BEV AABBs for proposal recall
+    for i in range(n_eval):
+        f = ds.frame(i, augment=False)
+        gt = f["gt_boxes"]
+        sel = gt[:, -1].astype(int) == 1
+        gt_frames[f"frame_{i:06d}"] = {"boxes": gt[sel, :bbox_elem]}
+        if is_lidar:
+            gt_bev_frames[f"frame_{i:06d}"] = np.asarray(
+                bbox_3d_to_bev_aabb(jnp.asarray(gt[sel, :7]))
+            )
+
+    def evaluate(params) -> dict:
+        detections, fps_meta = [], []
+        prop_hits, prop_total = 0, 0
+        loader_eval = val_loader
+        loader_eval._cur, loader_eval._peeked = 0, None
+        loader_eval._perm = np.arange(len(ds))
+        idx = 0
+        while idx < n_eval:
+            batch = loader_eval.next()
+            out = fwd(params, jnp.asarray(batch["data"]),
+                      jnp.asarray(batch["window"]))
+            b = batch["data"].shape[0]
+            for i in range(b):
+                if idx >= n_eval:
+                    break
+                fid = f"frame_{idx:06d}"
+                # proposal recall@0.5 (class-agnostic, BEV AABB for lidar)
+                rois = np.asarray(out["rois"][i])
+                gtb = (gt_bev_frames[fid] if is_lidar
+                       else gt_frames[fid]["boxes"])
+                if len(gtb):
+                    ious = np.asarray(
+                        bbox_overlaps(jnp.asarray(rois), jnp.asarray(gtb))
+                    )
+                    prop_hits += int((ious.max(axis=0) >= 0.5).sum())
+                    prop_total += len(gtb)
+                filt = filter_detections(
+                    out["cls_prob"][i], out["bbox_pred"][i],
+                    out["roi_valid"][i], num_classes=2, bbox_elem=bbox_elem,
+                    max_dets=cfg.test.max_dets, thresh=args.thresh,
+                    nms_thresh=cfg.test.nms_thresh, is_lidar=is_lidar,
+                    rotated_nms=cfg.test.rotated_nms,
+                )
+                boxes_j, _ = to_per_class_lists(filt, {}, 2, bbox_elem)
+                for row in boxes_j[1]:
+                    detections.append({
+                        "frame_id": fid, "bbox": row[:bbox_elem],
+                        "confidence": row[-1],
+                    })
+                idx += 1
+        res = evaluate_class(detections, gt_frames, iou_thresh=iou_t,
+                             eval_type=eval_type)
+        # fp rows for the taxonomy: re-run the matcher bookkeeping
+        order = sorted(detections, key=lambda d: -d["confidence"])
+        matched = {fid: np.zeros(len(g["boxes"]), bool)
+                   for fid, g in gt_frames.items()}
+        fps = []
+        for det in order:
+            g = gt_frames.get(det["frame_id"])
+            if g is None or len(g["boxes"]) == 0:
+                fps.append(det)
+                continue
+            ious = eval_iou(g["boxes"], det["bbox"], eval_type)
+            j = int(np.argmax(ious))
+            if ious[j] >= iou_t and not matched[det["frame_id"]][j]:
+                matched[det["frame_id"]][j] = True
+            else:
+                fps.append(det)
+        tax = fp_taxonomy(
+            fps, gt_frames,
+            lambda b, d: eval_iou(b, d, eval_type), iou_t,
+        )
+        return {
+            "map": float(res["ap"]), "tp": res["tp"], "fp": res["fp"],
+            "npos": res["npos"],
+            "proposal_recall": prop_hits / max(prop_total, 1),
+            "fp_taxonomy": tax,
+        }
+
+    curve = []
+    t0 = time.time()
+    print(f"[quality_run] mode={args.mode} net={args.net} frames={n_frames} "
+          f"iters={args.iters} lr={args.lr} overfit={args.overfit} "
+          f"rotated_nms={cfg.test.rotated_nms}")
+    for it in range(1, args.iters + 1):
+        state, losses = step(
+            state, {k: jnp.asarray(v) for k, v in loader.next().items()}, rng
+        )
+        if it % args.eval_every == 0 or it == args.iters or it == 1:
+            total = float(losses["total_loss"])
+            ev = evaluate(state.params)
+            ev.update(iter=it, total_loss=round(total, 4))
+            curve.append(ev)
+            print(f"  iter {it:5d} loss={total:.4f} mAP@{iou_t}({eval_type})="
+                  f"{ev['map']:.4f} prop_recall={ev['proposal_recall']:.3f} "
+                  f"tp={ev['tp']} fp={ev['fp']}/{ev['fp_taxonomy']} "
+                  f"[{time.time() - t0:.0f}s]")
+    return {
+        "mode": args.mode, "net": args.net, "frames": n_frames,
+        "iters": args.iters, "lr": args.lr, "seed": args.seed,
+        "overfit": bool(args.overfit), "rotated_nms": bool(cfg.test.rotated_nms),
+        "eval": {"iou": iou_t, "type": eval_type, "thresh": args.thresh},
+        "curve": curve,
+        "final": curve[-1] if curve else None,
+        "wall_sec": round(time.time() - t0, 1),
+    }
+
+
+def emit_suite(path: str):
+    """The fixed evidence suite -> one driver-visible artifact.  Written
+    incrementally so a killed run still leaves partial evidence."""
+    runs = [
+        ("image_overfit", ["--mode", "image", "--overfit", "--iters", "300",
+                           "--eval_every", "100"]),
+        ("image_scratch", ["--mode", "image", "--iters", "2000",
+                           "--eval_every", "250"]),
+        ("bev_overfit", ["--mode", "bev", "--overfit", "--iters", "300",
+                         "--eval_every", "100"]),
+        ("bev_scratch_rotated", ["--mode", "bev", "--iters", "2000",
+                                 "--eval_every", "250", "--rotated_nms"]),
+    ]
+    out = {}
+    for name, argv in runs:
+        print(f"=== suite: {name} ===")
+        out[name] = run_one(build_parser().parse_args(argv))
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"updated {path} ({name} done)")
+    return out
+
+
+if __name__ == "__main__":
+    main()
