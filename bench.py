@@ -153,7 +153,9 @@ def _e2e_throughput(cfg, ds_kwargs):
     )
 
     ds = SyntheticDataset(cfg, num_frames=64, **ds_kwargs)
-    loader = BatchLoader(ds, cfg, batch_size=BATCH, seed=0, prefetch=8)
+    workers = int(os.environ.get("BENCH_LOADER_WORKERS", "0"))
+    loader = BatchLoader(ds, cfg, batch_size=BATCH, seed=0, prefetch=8,
+                         workers=workers)
     model = FasterRCNN(cfg=cfg, num_classes=2)
     rng = jax.random.PRNGKey(0)
     state, opt = create_train_state(model, cfg, rng, loader.peek())
@@ -164,7 +166,11 @@ def _e2e_throughput(cfg, ds_kwargs):
     )
     step = make_train_step(model, opt)
 
-    loader.start()
+    # H2D inside the prefetch pipeline: device_put dispatches the upload
+    # asynchronously while the device is still on the previous step
+    loader.start(
+        transfer=lambda b: {k: jax.device_put(v) for k, v in b.items()}
+    )
     try:
         for _ in range(WARMUP):
             state, losses = step(state, loader.next(), rng)

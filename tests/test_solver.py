@@ -154,3 +154,35 @@ def test_staged_preload_cross_bn_mode(tmp_path):
     flat_got = jax.tree.leaves(got["params"]["predictors"])
     for a, b in zip(flat_init, flat_got):
         np.testing.assert_allclose(a, b)
+
+
+def test_act_summaries():
+    """TRAIN.EN_ACT_SUMMARIES: the features() sow surfaces backbone
+    activation stats (ref _act_summaries, vgg16.py:51) without growing the
+    trainable param tree."""
+    import jax
+    import numpy as np
+
+    from faster_rcnn_pytorch_multimodal_tpu.config import cfg_from_list
+    from faster_rcnn_pytorch_multimodal_tpu.data import BatchLoader, SyntheticDataset
+    from faster_rcnn_pytorch_multimodal_tpu.models.detector import FasterRCNN
+    from faster_rcnn_pytorch_multimodal_tpu.training.solver import (
+        create_train_state,
+        make_act_summary_step,
+    )
+
+    cfg = cfg_from_list(
+        cfg_from_list(default_config(), _TINY),
+        ("TRAIN.EN_ACT_SUMMARIES", "True"),
+    )
+    ds = SyntheticDataset(cfg, num_frames=2, num_classes=2, image_hw=(64, 96))
+    loader = BatchLoader(ds, cfg, batch_size=1, seed=0, augment=False)
+    model = FasterRCNN(cfg=cfg, num_classes=2)
+    state, _ = create_train_state(model, cfg, jax.random.PRNGKey(0), loader.peek())
+    assert "intermediates" not in state.params
+    act = make_act_summary_step(model)
+    out = {k: float(v) for k, v in act(
+        state.params, {k: np.asarray(v) for k, v in loader.peek().items()}
+    ).items()}
+    assert any(k.endswith("/mean") for k in out)
+    assert all(np.isfinite(v) for v in out.values())

@@ -180,8 +180,10 @@ def project_label_to_2d(
     return clipped, trunc
 
 
-def parse_args(argv=None):
-    p = argparse.ArgumentParser(description="Unpack Waymo Open tfrecords")
+def parse_args(argv=None, variant="combined"):
+    p = argparse.ArgumentParser(
+        description=f"Unpack Waymo Open tfrecords ({variant})"
+    )
     p.add_argument("tfrecord_dir", type=str)
     p.add_argument("out_dir", type=str)
     p.add_argument("--mode", default="train", choices=("train", "val", "test"))
@@ -202,12 +204,29 @@ def _require_waymo_deps():
         )
 
 
-def unpack_segment(tfrecord_path: str, out_dir: str, mode: str, max_range: float):
+def unpack_segment(tfrecord_path: str, out_dir: str, mode: str, max_range: float,
+                   variant: str = "combined"):
     """One tfrecord segment -> frames on disk.  Returns
-    (lidar_label_dicts, image_label_dicts)."""
+    (lidar_label_dicts, image_label_dicts).
+
+    variant selects the reference's standalone production surfaces:
+      * "combined" — point clouds + images + both label files
+        (ref tools/waymo_unpack_combined.py),
+      * "lidar" — point clouds + lidar labels only
+        (ref tools/waymo_unpack_lidar.py),
+      * "projected_cam" — images + 2D labels PROJECTED from the 3D laser
+        labels; the cloud is computed for in-box stats/truncation but not
+        saved (ref tools/waymo_unpack_projected_cam.py),
+      * "camera" — images + the dataset's NATIVE 2D camera labels; no
+        lidar work at all (ref tools/waymo_unpack_camera.py).
+    """
     import tensorflow as tf
     from waymo_open_dataset import dataset_pb2
     from waymo_open_dataset.utils import frame_utils
+
+    want_pc = variant in ("combined", "lidar")
+    want_img = variant in ("combined", "projected_cam", "camera")
+    want_cloud = variant != "camera"  # camera-only never parses lidar
 
     labels = []
     image_labels = []
@@ -218,25 +237,29 @@ def unpack_segment(tfrecord_path: str, out_dir: str, mode: str, max_range: float
         frame_id = f"{frame.context.name}_{rec_idx}"
 
         # --- point cloud: first + second return concat (ref :101-109) ---
-        (ri, cp, _, ri_top_pose) = frame_utils.parse_range_image_and_camera_projection(
-            frame
-        )
-        clouds = []
-        for return_index in (0, 1):
-            pts, cp_pts = frame_utils.convert_range_image_to_point_cloud(
-                frame, ri, cp, ri_top_pose, ri_index=return_index,
-                keep_polar_features=True,
+        cloud = np.zeros((0, 5), np.float32)
+        cloud2 = np.zeros((0, 5), np.float32)
+        if want_cloud:
+            (ri, cp, _, ri_top_pose) = (
+                frame_utils.parse_range_image_and_camera_projection(frame)
             )
-            # keep_polar_features layout: [range, intensity, elongation, x, y, z]
-            xyz = np.concatenate([p[:, 3:6] for p in pts], axis=0)
-            feat = np.concatenate([p[:, 1:3] for p in pts], axis=0)
-            c = np.hstack([xyz, feat]).astype(np.float32)
-            clouds.append(c[np.linalg.norm(c[:, :2], axis=1) < max_range])
-        cloud2 = clouds[1]  # second return, for return_ratio (ref :244)
-        cloud = np.concatenate(clouds, 0)
+            clouds = []
+            for return_index in (0, 1):
+                pts, cp_pts = frame_utils.convert_range_image_to_point_cloud(
+                    frame, ri, cp, ri_top_pose, ri_index=return_index,
+                    keep_polar_features=True,
+                )
+                # keep_polar_features layout: [range, intensity, elongation, x, y, z]
+                xyz = np.concatenate([p[:, 3:6] for p in pts], axis=0)
+                feat = np.concatenate([p[:, 1:3] for p in pts], axis=0)
+                c = np.hstack([xyz, feat]).astype(np.float32)
+                clouds.append(c[np.linalg.norm(c[:, :2], axis=1) < max_range])
+            cloud2 = clouds[1]  # second return, for return_ratio (ref :244)
+            cloud = np.concatenate(clouds, 0)
 
-        pc_path = os.path.join(out_dir, mode, "point_clouds", f"{frame_id}.npy")
-        np.save(pc_path, cloud)
+        if want_pc:
+            pc_path = os.path.join(out_dir, mode, "point_clouds", f"{frame_id}.npy")
+            np.save(pc_path, cloud)
 
         # --- FRONT camera: decode, crop top/bottom, save (ref :122-136) ---
         img_w = img_h = 0
@@ -246,9 +269,12 @@ def unpack_segment(tfrecord_path: str, out_dir: str, mode: str, max_range: float
                 arr = arr[TOP_CROP:, :, :]
                 arr = arr[:-BOT_CROP, :, :]
                 img_h, img_w = arr.shape[:2]
-                im_path = os.path.join(out_dir, mode, "images", f"{frame_id}.png")
-                with open(im_path, "wb") as f:
-                    f.write(tf.io.encode_png(arr).numpy())
+                if want_img:
+                    im_path = os.path.join(
+                        out_dir, mode, "images", f"{frame_id}.png"
+                    )
+                    with open(im_path, "wb") as f:
+                        f.write(tf.io.encode_png(arr).numpy())
                 break
 
         # --- calibration export (ref :144-166) ---
@@ -276,7 +302,36 @@ def unpack_segment(tfrecord_path: str, out_dir: str, mode: str, max_range: float
         # --- labels (ref :207-322) ---
         boxes, classes, diffs, metas, ids = [], [], [], [], []
         boxes_2d, classes_2d, diffs_2d, metas_2d, ids_2d = [], [], [], [], []
-        for lab in frame.laser_labels:
+        if variant == "camera":
+            # native 2D camera labels (ref waymo_unpack_camera.py:64-121)
+            for cam_labels in frame.camera_labels:
+                if cam_labels.name != dataset_pb2.CameraName.FRONT:
+                    continue
+                for label in cam_labels.labels:
+                    b = label.box
+                    x1 = b.center_x - b.length / 2.0
+                    y1 = b.center_y - b.width / 2.0 - TOP_CROP
+                    x2 = b.center_x + b.length / 2.0
+                    y2 = b.center_y + b.width / 2.0 - TOP_CROP
+                    clipped = clip_2d_box((x1, y1, x2, y2), img_w, img_h)
+                    if clipped is None:
+                        continue
+                    boxes_2d.append({
+                        "x1": clipped[0], "y1": clipped[1],
+                        "x2": clipped[2], "y2": clipped[3],
+                    })
+                    classes_2d.append(int(label.type))
+                    diffs_2d.append(
+                        1 if label.detection_difficulty_level == 0
+                        else int(label.detection_difficulty_level)
+                    )
+                    metas_2d.append({
+                        "pts": 0, "avg_intensity": 0.0, "avg_elongation": 0.0,
+                        "return_ratio": 0.0,
+                        "trunc": float(compute_truncation((x1, y1, x2, y2), clipped)),
+                    })
+                    ids_2d.append(label.id)
+        for lab in (() if variant == "camera" else frame.laser_labels):
             b = lab.box
             dist = float(np.sqrt(b.center_x**2 + b.center_y**2))
             if dist > max_range:
@@ -316,7 +371,7 @@ def unpack_segment(tfrecord_path: str, out_dir: str, mode: str, max_range: float
             ids.append(lab.id)
 
             # projected 2D box for the image pipeline (ref :239-314)
-            if v2i is not None and img_w:
+            if v2i is not None and img_w and variant != "lidar":
                 res = project_label_to_2d(
                     v2i, box7, cloud[inside], img_w, img_h + BOT_CROP
                 )
@@ -379,21 +434,26 @@ def _points_in_box(cloud: np.ndarray, b) -> np.ndarray:
     )
 
 
-def main(argv=None):
-    args = parse_args(argv)
+def main(argv=None, variant="combined"):
+    args = parse_args(argv, variant)
     _require_waymo_deps()
-    for sub in ("point_clouds", "images", "labels"):
+    subdirs = {"combined": ("point_clouds", "images", "labels"),
+               "lidar": ("point_clouds", "labels"),
+               "projected_cam": ("images", "labels"),
+               "camera": ("images", "labels")}[variant]
+    for sub in subdirs:
         os.makedirs(os.path.join(args.out_dir, args.mode, sub), exist_ok=True)
     segments = sorted(
         os.path.join(args.tfrecord_dir, f)
         for f in os.listdir(args.tfrecord_dir)
         if f.endswith(".tfrecord")
     )
-    print(f"{len(segments)} segments -> {args.out_dir}/{args.mode}")
+    print(f"{len(segments)} segments -> {args.out_dir}/{args.mode} ({variant})")
     all_labels, all_image_labels = [], []
     with ProcessPoolExecutor(max_workers=args.workers) as pool:
         futures = [
-            pool.submit(unpack_segment, seg, args.out_dir, args.mode, args.max_range)
+            pool.submit(unpack_segment, seg, args.out_dir, args.mode,
+                        args.max_range, variant)
             for seg in segments
         ]
         for fut in futures:
@@ -401,12 +461,12 @@ def main(argv=None):
             all_labels.extend(lidar)
             all_image_labels.extend(image)
     label_dir = os.path.join(args.out_dir, args.mode, "labels")
-    out_json = os.path.join(label_dir, "lidar_labels.json")
-    with open(out_json, "w") as f:
-        json.dump(all_labels, f)
-    out_img_json = os.path.join(label_dir, "image_labels.json")
-    with open(out_img_json, "w") as f:
-        json.dump(all_image_labels, f)
+    if variant in ("combined", "lidar"):
+        with open(os.path.join(label_dir, "lidar_labels.json"), "w") as f:
+            json.dump(all_labels, f)
+    if variant in ("combined", "projected_cam", "camera"):
+        with open(os.path.join(label_dir, "image_labels.json"), "w") as f:
+            json.dump(all_image_labels, f)
     print(
         f"wrote {len(all_labels)} lidar + {len(all_image_labels)} image frame "
         f"labels to {label_dir}"
