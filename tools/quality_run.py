@@ -49,7 +49,10 @@ def build_cfg(mode: str, net: str, lr: float, overfit: bool):
         "TRAIN.SNAPSHOT_ITERS", "1000000",  # no snapshots in quality runs
     )
     if overfit:
-        common += ("DEBUG.FREEZE_DB", "True")
+        # pin the frozen frame to index 0: the eval GT below is built from
+        # ds.frame(0), and the config default FREEZE_DB_INDS=3 (reference
+        # parity) would train/serve a DIFFERENT frame than the one scored
+        common += ("DEBUG.FREEZE_DB", "True", "DEBUG.FREEZE_DB_INDS", "0")
     if mode == "bev":
         # the round-3 from-scratch BEV recipe (STATUS.md "BEV convergence")
         return cfg_from_list(
@@ -317,14 +320,16 @@ def emit_suite(path: str):
     """The fixed evidence suite -> one driver-visible artifact.  Written
     incrementally so a killed run still leaves partial evidence."""
     runs = [
-        ("image_overfit", ["--mode", "image", "--overfit", "--iters", "300",
-                           "--eval_every", "100"]),
-        ("image_scratch", ["--mode", "image", "--iters", "2000",
-                           "--eval_every", "250"]),
-        ("bev_overfit", ["--mode", "bev", "--overfit", "--iters", "300",
-                         "--eval_every", "100"]),
-        ("bev_scratch_rotated", ["--mode", "bev", "--iters", "2000",
-                                 "--eval_every", "250", "--rotated_nms"]),
+        # overfit recipes use the diag_bev_overfit lr (0.01): regression
+        # needs the hotter rate to pin corners within a few hundred iters
+        ("image_overfit", ["--mode", "image", "--overfit", "--iters", "200",
+                           "--eval_every", "100", "--lr", "0.01"]),
+        ("image_scratch", ["--mode", "image", "--iters", "4000",
+                           "--eval_every", "500"]),
+        ("bev_overfit", ["--mode", "bev", "--overfit", "--iters", "200",
+                         "--eval_every", "100", "--lr", "0.01"]),
+        ("bev_scratch_rotated", ["--mode", "bev", "--iters", "4000",
+                                 "--eval_every", "500", "--rotated_nms"]),
     ]
     out = {}
     for name, argv in runs:
