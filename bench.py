@@ -11,11 +11,17 @@ default so the driver-run JSON captures the full surface; set
 BENCH_CONFIG=image/bev/fpn/rpn/uc/both to run a subset.
 
 Baseline note: the reference publishes no throughput numbers (BASELINE.md).
-`REFERENCE_FPS` is a documented estimate of its single-GPU TRAINING
+`REFERENCE_FPS` is a documented ESTIMATE of its single-GPU TRAINING
 throughput: it steps exactly one frame per iteration
 (lib/roi_data_layer/minibatch.py:111 asserts batch==1) and a res101
 Faster R-CNN train step at Waymo-scale input on a 2019-class GPU runs
 ~3-5 it/s; we use 4 frames/sec.  vs_baseline = value / REFERENCE_FPS.
+The estimate is bracketed by tools/measure_baseline.py
+(BASELINE_MEASURED.json): a MEASURED torch train-step proxy built from
+the reference's own resnet module, plus an ANALYTIC V100-fp32 upper
+bound from the XLA cost analysis of this bench's image step.  When that
+artifact exists, its bound is reported as `ref_fps_bound` /
+`vs_baseline_bound` alongside the estimate.
 
 Set BENCH_CONFIG=image or BENCH_CONFIG=bev to run a single config.
 """
@@ -364,6 +370,21 @@ def main():
     }
     out.update(results)
     out.update(extras)
+    measured = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE_MEASURED.json")
+    if os.path.exists(measured):
+        try:
+            with open(measured) as f:
+                m = json.load(f)
+            bound = m.get("flops", {}).get("ref_gpu_fps_bound")
+            if bound:
+                out["ref_fps_bound"] = bound
+                out["vs_baseline_bound"] = round(value / bound, 2)
+            cpu_fps = m.get("torch_cpu", {}).get("torch_cpu_fps")
+            if cpu_fps:
+                out["ref_torch_cpu_fps"] = cpu_fps
+        except Exception:
+            pass
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -323,6 +323,13 @@ class BatchLoader:
         batch order is identical to the serial stream.
         """
         if self._thread is not None:
+            if transfer is not None and transfer is not self._transfer:
+                # a silent no-op here would drop the caller's sharding
+                # callback and feed raw host batches to the step
+                raise RuntimeError(
+                    "loader already started with a different transfer; "
+                    "kill() it first"
+                )
             return
         self._q = queue.Queue(maxsize=self._prefetch)
         self._stop.clear()

@@ -119,7 +119,7 @@ def measure_torch_cpu(iters: int = 3) -> dict:
         loss = rpn_ce + rpn_l1 + ce + l1
         loss.backward()
         opt.step()
-        return float(loss)
+        return float(loss.detach())
 
     step()  # warm caches / allocator
     t0 = time.time()

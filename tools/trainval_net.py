@@ -159,11 +159,9 @@ def main(argv=None):
     )
     print(f"training {cfg.net_variant} {cfg.net_type} on {train_db.name} "
           f"({len(train_db)} frames, {num_classes} classes) -> {out_dir}")
-    loader.start()
-    try:
-        result = solver.train(max_iters=args.max_iters)
-    finally:
-        loader.kill()
+    # Solver.train owns the prefetch lifecycle (it installs the
+    # shard-on-transfer callback and kills the loader on exit)
+    result = solver.train(max_iters=args.max_iters)
     print(f"done: {result['frames_per_sec']:.2f} frames/s, "
           f"final loss {result['losses'].get('total_loss')}")
     return result
