@@ -326,7 +326,8 @@ def run_one(args) -> dict:
 
 def emit_suite(path: str):
     """The fixed evidence suite -> one driver-visible artifact.  Written
-    incrementally so a killed run still leaves partial evidence."""
+    incrementally so a killed run still leaves partial evidence, and
+    resumable: legs already present (with a final entry) are skipped."""
     runs = [
         # overfit recipes use the diag_bev_overfit lr (0.01): regression
         # needs the hotter rate to pin corners within a few hundred iters
@@ -338,9 +339,19 @@ def emit_suite(path: str):
                          "--eval_every", "100", "--lr", "0.01"]),
         ("bev_scratch_rotated", ["--mode", "bev", "--iters", "4000",
                                  "--eval_every", "500", "--rotated_nms"]),
+        # parity-NMS twin of the rotated leg (VERDICT r3 #4: report the
+        # plateau for BOTH NMS flavors)
+        ("bev_scratch_parity", ["--mode", "bev", "--iters", "4000",
+                                "--eval_every", "500"]),
     ]
     out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
     for name, argv in runs:
+        if out.get(name, {}).get("final"):
+            print(f"=== suite: {name} === already done, skipping")
+            continue
         print(f"=== suite: {name} ===")
         out[name] = run_one(build_parser().parse_args(argv))
         with open(path, "w") as f:
