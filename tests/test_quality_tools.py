@@ -61,6 +61,7 @@ def test_emit_suite_resumes_completed_legs(tmp_path, monkeypatch):
     done = {
         "image_overfit": {"final": {"map": 1.0}},
         "image_scratch": {"final": {"map": 0.7}},
+        "image_scratch_long": {"final": {"map": 0.8}},
     }
     with open(path, "w") as f:
         json.dump(done, f)
@@ -78,9 +79,11 @@ def test_emit_suite_resumes_completed_legs(tmp_path, monkeypatch):
     # image legs preserved verbatim, bev legs (re)run
     assert out["image_overfit"] == done["image_overfit"]
     assert out["image_scratch"] == done["image_scratch"]
-    assert len(ran) == 3  # bev_overfit + bev_scratch_rotated + bev_scratch_parity
+    # bev_overfit + bev_scratch_rotated + bev_scratch_parity + long
+    assert len(ran) == 4
     with open(path) as f:
         assert set(json.load(f)) == {
-            "image_overfit", "image_scratch", "bev_overfit",
-            "bev_scratch_rotated", "bev_scratch_parity",
+            "image_overfit", "image_scratch", "image_scratch_long",
+            "bev_overfit", "bev_scratch_rotated", "bev_scratch_parity",
+            "bev_scratch_long_rotated",
         }

@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def build_cfg(mode: str, net: str, lr: float, overfit: bool):
+def build_cfg(mode: str, net: str, lr: float, overfit: bool, stepsize=None):
     from faster_rcnn_pytorch_multimodal_tpu.config import (
         cfg_from_list,
         default_config,
@@ -48,6 +48,12 @@ def build_cfg(mode: str, net: str, lr: float, overfit: bool):
         "TRAIN.LEARNING_RATE", str(lr),
         "TRAIN.SNAPSHOT_ITERS", "1000000",  # no snapshots in quality runs
     )
+    # LR step decay inside the optimizer (optim.lr_schedule) — the "long"
+    # suite legs use it to break the constant-lr plateau.  Applied LAST so
+    # it beats the mode recipes' default stepsize below.
+    tail = (("TRAIN.STEPSIZE",
+             "(" + ",".join(str(s) for s in stepsize) + ",)")
+            if stepsize else ())
     if overfit:
         # pin the frozen frame to index 0: the eval GT below is built from
         # ds.frame(0), and the config default FREEZE_DB_INDS=3 (reference
@@ -69,7 +75,7 @@ def build_cfg(mode: str, net: str, lr: float, overfit: bool):
                 "LIDAR.ANCHOR_SUBSTRIDE", "4",
                 "LIDAR.RPN_POSITIVE_OVERLAP", "0.45",
                 "LIDAR.RPN_NEGATIVE_OVERLAP", "0.3",
-            ),
+            ) + tail,
         )
     return cfg_from_list(
         default_config(),
@@ -91,7 +97,7 @@ def build_cfg(mode: str, net: str, lr: float, overfit: bool):
             # decay inside the 4000-iter evidence runs so late regression
             # tightens (the reference trains with step decay too)
             "TRAIN.STEPSIZE", "(2500,)",
-        ),
+        ) + tail,
     )
 
 
@@ -127,6 +133,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--lr", type=float, default=0.004)
     ap.add_argument("--thresh", type=float, default=0.05)
     ap.add_argument("--overfit", action="store_true")
+    ap.add_argument("--stepsize", type=int, nargs="*", default=None,
+                    help="TRAIN.STEPSIZE boundaries for LR step decay")
     ap.add_argument("--rotated_nms", action="store_true",
                     help="bev: TEST.ROTATED_NMS at 0.3 (the r3 quality winner)")
     ap.add_argument("--seed", type=int, default=0)
@@ -180,7 +188,7 @@ def run_one(args) -> dict:
         make_train_step,
     )
 
-    cfg = build_cfg(args.mode, args.net, args.lr, args.overfit)
+    cfg = build_cfg(args.mode, args.net, args.lr, args.overfit, args.stepsize)
     if args.rotated_nms:
         cfg = cfg_from_list(
             cfg, ("TEST.ROTATED_NMS", "True", "TEST.NMS_THRESH", "0.3")
@@ -343,6 +351,15 @@ def emit_suite(path: str):
         # plateau for BOTH NMS flavors)
         ("bev_scratch_parity", ["--mode", "bev", "--iters", "4000",
                                 "--eval_every", "500"]),
+        # "long" legs: LR step decay to break the constant-lr plateau the
+        # 4000-iter legs hit (image mAP ~0.27 with loss still falling).
+        # BEV steps ~3x faster than image, so it gets the longer horizon.
+        ("bev_scratch_long_rotated", ["--mode", "bev", "--iters", "12000",
+                                      "--eval_every", "2000", "--rotated_nms",
+                                      "--stepsize", "6000", "9000"]),
+        ("image_scratch_long", ["--mode", "image", "--iters", "8000",
+                                "--eval_every", "1000",
+                                "--stepsize", "4000", "6000"]),
     ]
     out = {}
     if os.path.exists(path):
