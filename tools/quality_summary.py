@@ -19,14 +19,15 @@ def leg_table(name: str, leg: dict) -> str:
         f"lr {leg['lr']}, {'rotated' if leg.get('rotated_nms') else 'parity'}-NMS, "
         f"eval mAP@{leg['eval']['iou']}({leg['eval']['type']})",
         "",
-        "| iter | loss | mAP | prop recall | tp | fp | dup/loc/bg |",
-        "|---|---|---|---|---|---|---|",
+        "| iter | loss | mAP | mAP(bev) | prop recall | tp | fp | dup/loc/bg |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for p in leg.get("curve", []):
         t = p.get("fp_taxonomy", {})
+        bev = f"{p['map_bev']:.3f}" if "map_bev" in p else "—"
         lines.append(
             f"| {p['iter']} | {p.get('total_loss', float('nan')):.3f} | "
-            f"{p['map']:.3f} | {p['proposal_recall']:.3f} | {p['tp']} | "
+            f"{p['map']:.3f} | {bev} | {p['proposal_recall']:.3f} | {p['tp']} | "
             f"{p['fp']} | {t.get('duplicate', 0)}/{t.get('localization', 0)}/"
             f"{t.get('background', 0)} |"
         )
@@ -38,16 +39,18 @@ def main(path: str = "QUALITY_r4.json") -> None:
     with open(path) as f:
         suite = json.load(f)
     summary = [
-        "| leg | final mAP | prop recall | iters | wall |",
-        "|---|---|---|---|---|",
+        "| leg | final mAP | mAP(bev) | prop recall | iters | wall |",
+        "|---|---|---|---|---|---|",
     ]
     for name, leg in suite.items():
         fin = leg.get("final")
         if not fin:
-            summary.append(f"| {name} | (incomplete) | — | — | — |")
+            summary.append(f"| {name} | (incomplete) | — | — | — | — |")
             continue
+        bev = f"{fin['map_bev']:.3f}" if "map_bev" in fin else "—"
         summary.append(
-            f"| {name} | {fin['map']:.3f} | {fin['proposal_recall']:.3f} | "
+            f"| {name} | {fin['map']:.3f} | {bev} | "
+            f"{fin['proposal_recall']:.3f} | "
             f"{fin['iter']} | {leg.get('wall_sec', 0):.0f}s |"
         )
     print("\n".join(summary))
