@@ -71,19 +71,48 @@ def test_emit_suite_resumes_completed_legs(tmp_path, monkeypatch):
     def fake_run_one(args):
         name = f"{args.mode}{'_overfit' if args.overfit else ''}"
         ran.append(name)
-        assert args.mode == "bev", "completed image legs must be skipped"
-        return {"final": {"map": 0.5}, "mode": args.mode}
+        assert not (args.mode == "image" and not args.overfit
+                    and not (args.fpn or args.uc)), \
+            "completed plain-image legs must be skipped"
+        return {"final": {"map": 0.5, "map_bev": 0.4}, "mode": args.mode}
 
     monkeypatch.setattr(quality_run, "run_one", fake_run_one)
     out = quality_run.emit_suite(path)
-    # image legs preserved verbatim, bev legs (re)run
+    # image legs preserved verbatim, bev + fpn + uc legs (re)run
     assert out["image_overfit"] == done["image_overfit"]
     assert out["image_scratch"] == done["image_scratch"]
-    # bev_overfit + bev_scratch_rotated + bev_scratch_parity + long
-    assert len(ran) == 4
+    # bev_overfit + bev_scratch_rotated + bev_scratch_parity + bev long
+    # + fpn_scratch + image_uc_scratch
+    assert len(ran) == 6
     with open(path) as f:
         assert set(json.load(f)) == {
             "image_overfit", "image_scratch", "image_scratch_long",
             "bev_overfit", "bev_scratch_rotated", "bev_scratch_parity",
-            "bev_scratch_long_rotated",
+            "bev_scratch_long_rotated", "fpn_scratch", "image_uc_scratch",
         }
+
+
+def test_emit_suite_reruns_stale_bev_schema(tmp_path, monkeypatch):
+    """ADVICE r4: a bev leg whose final predates the map_bev metric must
+    re-run so the headline BEV AP lands in the artifact."""
+    path = str(tmp_path / "Q.json")
+    stale = {
+        "bev_overfit": {"final": {"map": 0.5}, "mode": "bev"},
+        "bev_scratch_rotated": {"final": {"map": 0.4, "map_bev": 0.6},
+                                "mode": "bev"},
+    }
+    with open(path, "w") as f:
+        json.dump(stale, f)
+
+    ran = []
+
+    def fake_run_one(args):
+        ran.append((args.mode, bool(args.overfit)))
+        return {"final": {"map": 0.5, "map_bev": 0.4}, "mode": args.mode}
+
+    monkeypatch.setattr(quality_run, "run_one", fake_run_one)
+    out = quality_run.emit_suite(path)
+    # the fresh-schema rotated leg is preserved; the stale one re-ran
+    assert out["bev_scratch_rotated"] == stale["bev_scratch_rotated"]
+    assert "map_bev" in out["bev_overfit"]["final"]
+    assert ("bev", True) in ran

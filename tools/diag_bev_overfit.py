@@ -29,7 +29,8 @@ if "JAX_PLATFORMS" not in os.environ:
     os.environ["JAX_PLATFORMS"] = "cpu"
 
 
-def build_cfg(net: str, substride: int = 1, pos: float = -1.0, neg: float = -1.0):
+def build_cfg(net: str, substride: int = 1, pos: float = -1.0, neg: float = -1.0,
+              freeze_ind: int = -1):
     from faster_rcnn_pytorch_multimodal_tpu.config import (
         cfg_from_list,
         default_config,
@@ -51,7 +52,8 @@ def build_cfg(net: str, substride: int = 1, pos: float = -1.0, neg: float = -1.0
             "LIDAR.ANCHOR_SUBSTRIDE", str(substride),
             "LIDAR.RPN_POSITIVE_OVERLAP", str(pos),
             "LIDAR.RPN_NEGATIVE_OVERLAP", str(neg),
-        ),
+        )
+        + (("DEBUG.FREEZE_DB_INDS", str(freeze_ind)) if freeze_ind >= 0 else ()),
     )
 
 
@@ -64,6 +66,8 @@ def main():
     ap.add_argument("--substride", type=int, default=1)
     ap.add_argument("--pos", type=float, default=-1.0)
     ap.add_argument("--neg", type=float, default=-1.0)
+    ap.add_argument("--freeze_ind", type=int, default=-1,
+                    help="DEBUG.FREEZE_DB_INDS (suite bev_overfit uses 0)")
     args = ap.parse_args()
 
     import jax
@@ -90,7 +94,8 @@ def main():
         make_train_step,
     )
 
-    cfg = build_cfg(args.net, args.substride, args.pos, args.neg)
+    cfg = build_cfg(args.net, args.substride, args.pos, args.neg,
+                    args.freeze_ind)
     if args.lr is not None:
         from faster_rcnn_pytorch_multimodal_tpu.config import cfg_from_list
 
@@ -229,13 +234,23 @@ def main():
             if boxes7.shape[0]
             else np.zeros((0, 4))
         )
-        return float((best >= 0.5).mean()), best, ap05(dets_bev, scores)
+        # per-GT best FINAL-det 3D IoU (the suite's scoring geometry —
+        # BEV-fine / 3D-poor exposes z/height regression error)
+        from faster_rcnn_pytorch_multimodal_tpu.evaluation.eval_utils import (
+            iou as eval_iou,
+        )
+        gt7_np = np.asarray(gt7[:, :7])[gt_mask]
+        best3d = np.zeros(n_gt)
+        for b7 in boxes7:
+            best3d = np.maximum(best3d, eval_iou(gt7_np, b7, "3d"))
+        return (float((best >= 0.5).mean()), best, ap05(dets_bev, scores),
+                best3d)
 
     print(f"\n=== C. overfit {args.iters} iters (lr={cfg.train.learning_rate}) ===")
     for it in range(1, args.iters + 1):
         state, losses = step(state, batch, rng)
         if it % args.eval_every == 0 or it == 1:
-            r, best, ap = recall(state.params)
+            r, best, ap, best3d = recall(state.params)
             ls = {k: float(v) for k, v in losses.items()}
             print(
                 f"  iter {it:4d} total={ls['total_loss']:.4f}"
@@ -244,7 +259,8 @@ def main():
                 f" ce={ls['cross_entropy']:.4f} box={ls['loss_box']:.4f}"
                 f" | RPN recall@0.5 {r:.2f}"
                 f" mAP@0.5 {ap:.3f}"
-                f" (per-gt best IoU {np.round(best, 2)})"
+                f" (per-gt best IoU {np.round(best, 2)}"
+                f" 3d {np.round(best3d, 2)})"
             )
     print("\ndone")
 
