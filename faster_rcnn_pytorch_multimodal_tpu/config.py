@@ -64,6 +64,11 @@ class UCConfig:
     # serialized.  Measured at T=10 b8 512x960 on v5e: chunk 2 = 17.3,
     # chunk 5 = 18.5 f/s, chunk 10 = compile OOM.
     e_mc_chunk: int = 5
+    # test-time override (0 = use e_mc_chunk): inference has no backward
+    # activations to hold, so the MC scan can vmap a larger chunk than
+    # training tolerates — fewer sequential scan steps, better MXU
+    # occupancy at the same peak memory budget
+    e_mc_chunk_test: int = 10
     sort_type: str = ""
     # Bayesian CE formulation for aleatoric classification: 'full' (avg
     # softmax over distorted logits, ref loss_utils.py:149-169), 'simple'

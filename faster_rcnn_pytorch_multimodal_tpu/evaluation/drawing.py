@@ -25,8 +25,9 @@ def draw_frame_detections(
     path: str,
     gt_boxes: Optional[np.ndarray] = None,
     uc_j: Optional[List[Dict[str, np.ndarray]]] = None,
-) -> None:
-    """Draw one frame's detections (and GT) and save to `path`.
+) -> np.ndarray:
+    """Draw one frame's detections (and GT), save to `path`, and return the
+    drawn canvas (HWC uint8) for tensorboard image summaries.
 
     data: the network-space frame — (H, W, 3) normalized image for image
       nets, (H, W, C) BEV raster for lidar nets.
@@ -73,6 +74,9 @@ def draw_frame_detections(
                     sort_key=sort_key,
                 )
     viz.save_image(canvas, path)
+    # HWC uint8 for the tensorboard image summary (ref logs GT-drawn val
+    # frames into TB via lib/utils/visualization.py:71 draw_summary hooks)
+    return np.clip(np.asarray(canvas), 0, 255).astype(np.uint8)
 
 
 def proposal_recall(

@@ -935,7 +935,7 @@ class FasterRCNN(nn.Module):
             # det stage; proposals come from the sample-mean scores/deltas
             rpn_samples = _chunked_mc_scan(
                 self, _mc_rpn_scores_chunk, images, uc.e_num_sample,
-                uc.e_mc_chunk,
+                uc.e_mc_chunk_test or uc.e_mc_chunk,
             )  # dict of (T, B, N, ·)
             rpn_out = {
                 "fg_prob": jnp.mean(rpn_samples["fg_prob"], axis=0),
@@ -971,7 +971,8 @@ class FasterRCNN(nn.Module):
             # _mc_roi_head_chunk)
             pooled = self.pool_rois(feats, rois)
             det = _chunked_mc_scan(
-                self, _mc_roi_head_chunk, (pooled, rois), t, uc.e_mc_chunk
+                self, _mc_roi_head_chunk, (pooled, rois), t,
+                uc.e_mc_chunk_test or uc.e_mc_chunk,
             )  # dict of (T, B, S, ·)
         else:
             det = jax.tree.map(

@@ -39,16 +39,20 @@ class MetricsWriter:
             for k, v in values.items():
                 self._tb.add_scalar(k, float(v), int(step))
 
-    def image(self, step: int, tag: str, image):
-        """HWC uint8 image -> tensorboard (and a PNG next to the log)."""
+    def image(self, step: int, tag: str, image, save_png: bool = True):
+        """HWC uint8 image -> tensorboard (and optionally a PNG next to the
+        log; callers that already saved the frame elsewhere pass False)."""
         if self._tb is not None:
             self._tb.add_image(tag, image, int(step), dataformats="HWC")
-        from faster_rcnn_pytorch_multimodal_tpu.utils.visualization import save_image
+        if save_png:
+            from faster_rcnn_pytorch_multimodal_tpu.utils.visualization import (
+                save_image,
+            )
 
-        save_image(
-            image,
-            os.path.join(self.log_dir, f"{tag.replace('/', '_')}_{step}.png"),
-        )
+            save_image(
+                image,
+                os.path.join(self.log_dir, f"{tag.replace('/', '_')}_{step}.png"),
+            )
 
     def close(self):
         self._jsonl.close()

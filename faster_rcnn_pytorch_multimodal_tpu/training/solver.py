@@ -434,7 +434,7 @@ class Solver:
             gt_i = np.asarray(val_batch["gt_boxes"][i])[
                 np.asarray(val_batch["gt_mask"][i], bool)
             ]
-            draw_frame_detections(
+            canvas = draw_frame_detections(
                 cfg,
                 np.asarray(val_batch["data"][i]),
                 boxes_j,
@@ -443,6 +443,12 @@ class Solver:
                 gt_boxes=gt_i,
                 uc_j=uc_j,
             )
+            # tensorboard image summary (ref logs GT-drawn val frames into
+            # TB, lib/utils/visualization.py:71); PNG already saved above
+            if i == 0 and self.metrics_val is not None:
+                self.metrics_val.image(
+                    step, "val/detections", canvas, save_png=False
+                )
         return scalars
 
     # -- main loop ----------------------------------------------------------

@@ -72,7 +72,8 @@ def test_emit_suite_resumes_completed_legs(tmp_path, monkeypatch):
         name = f"{args.mode}{'_overfit' if args.overfit else ''}"
         ran.append(name)
         assert not (args.mode == "image" and not args.overfit
-                    and not (args.fpn or args.uc)), \
+                    and not (args.fpn or args.uc
+                             or args.rpn_pos is not None)), \
             "completed plain-image legs must be skipped"
         return {"final": {"map": 0.5, "map_bev": 0.4}, "mode": args.mode}
 
@@ -82,13 +83,14 @@ def test_emit_suite_resumes_completed_legs(tmp_path, monkeypatch):
     assert out["image_overfit"] == done["image_overfit"]
     assert out["image_scratch"] == done["image_scratch"]
     # bev_overfit + bev_scratch_rotated + bev_scratch_parity + bev long
-    # + fpn_scratch + image_uc_scratch
-    assert len(ran) == 6
+    # + fpn_scratch + image_uc_scratch + image_scratch_tuned
+    assert len(ran) == 7
     with open(path) as f:
         assert set(json.load(f)) == {
             "image_overfit", "image_scratch", "image_scratch_long",
             "bev_overfit", "bev_scratch_rotated", "bev_scratch_parity",
             "bev_scratch_long_rotated", "fpn_scratch", "image_uc_scratch",
+            "image_scratch_tuned",
         }
 
 

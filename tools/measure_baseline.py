@@ -175,7 +175,12 @@ def flops_bound() -> dict:
         "note": "bench image-config train step FLOPs (XLA cost analysis); "
                 "bound = 15.7 fp32 TFLOP/s (V100 peak) / FLOPs-per-frame — "
                 "the reference is fp32 torch, batch 1 "
-                "(ref minibatch.py:111)",
+                "(ref minibatch.py:111).  Caveat (ADVICE r4): FLOPs/frame "
+                "is measured at batch 8, where fixed per-step work "
+                "amortizes, so it slightly UNDERestimates the reference's "
+                "batch-1 per-frame FLOPs — i.e. the bound is mildly "
+                "OPTIMISTIC for the reference, making vs_baseline_bound "
+                "a conservative claim for this framework",
     }
 
 

@@ -153,6 +153,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="USE_FPN + multiscale RoIAlign")
     ap.add_argument("--uc", action="store_true",
                     help="cls+bbox aleatoric AND epistemic uncertainty")
+    ap.add_argument("--rpn_pos", type=float, default=None,
+                    help="TRAIN.RPN_POSITIVE_OVERLAP override")
+    ap.add_argument("--rpn_neg", type=float, default=None,
+                    help="TRAIN.RPN_NEGATIVE_OVERLAP override")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None, help="write the run JSON here")
     ap.add_argument("--emit", default=None,
@@ -206,6 +210,12 @@ def run_one(args) -> dict:
 
     cfg = build_cfg(args.mode, args.net, args.lr, args.overfit, args.stepsize,
                     fpn=args.fpn, uc=args.uc)
+    if args.rpn_pos is not None:
+        cfg = cfg_from_list(
+            cfg, ("TRAIN.RPN_POSITIVE_OVERLAP", str(args.rpn_pos)))
+    if args.rpn_neg is not None:
+        cfg = cfg_from_list(
+            cfg, ("TRAIN.RPN_NEGATIVE_OVERLAP", str(args.rpn_neg)))
     if args.rotated_nms:
         cfg = cfg_from_list(
             cfg, ("TEST.ROTATED_NMS", "True", "TEST.NMS_THRESH", "0.3")
@@ -435,6 +445,17 @@ def emit_suite(path: str):
         ("image_uc_scratch", ["--mode", "image", "--iters", "4000",
                               "--eval_every", "500", "--uc",
                               "--stepsize", "2500"]),
+        # the image-plateau fix (r5 diagnosis): on the synthetic set 62.4%
+        # of GTs have ZERO anchors >= the 0.7 RPN positive threshold
+        # (median best-anchor IoU 0.64) — those objects train on a single
+        # argmax anchor, capping proposal recall at ~0.75.  Dropping to
+        # 0.5/0.3 gives ~30 fg anchors/GT — the image analog of the BEV
+        # recipe's AVOD thresholds (LIDAR.RPN_POSITIVE_OVERLAP 0.45), and
+        # the same move the reference's kmeans-anchor workflow exists for.
+        ("image_scratch_tuned", ["--mode", "image", "--iters", "6000",
+                                 "--eval_every", "1000",
+                                 "--rpn_pos", "0.5", "--rpn_neg", "0.3",
+                                 "--stepsize", "3000", "4500"]),
     ]
     out = {}
     if os.path.exists(path):
