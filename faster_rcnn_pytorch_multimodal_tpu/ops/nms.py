@@ -32,6 +32,7 @@ sequential scan for verification.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -42,7 +43,10 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-CHUNK = 512
+# score-ordered chunk width; env-overridable for per-hardware tuning
+# (512 is the v5e-measured optimum at the train proposal shape — see
+# module docstring; tools/profile_step.py sweeps it via FRCNN_NMS_CHUNK)
+CHUNK = int(os.environ.get("FRCNN_NMS_CHUNK", "512"))
 
 
 @partial(jax.jit, static_argnames=("max_out", "iters", "exact", "rotated"))

@@ -366,6 +366,11 @@ def run_one(args) -> dict:
             "npos": res["npos"],
             "proposal_recall": prop_hits / max(prop_total, 1),
             "fp_taxonomy": tax,
+            # the fp tail at the evidence thresh (0.05) vs the reference's
+            # deployment thresh: how many FPs carry confidence >= 0.5
+            # (VERDICT r4 weak #4 — is the overfit FP tail a low-confidence
+            # eval artifact or real score mis-calibration?)
+            "fp_conf50": int(sum(1 for d in fps if d["confidence"] >= 0.5)),
         }
         if res_bev is not None:
             out_d["map_bev"] = float(res_bev["ap"])
