@@ -68,16 +68,20 @@ def test_emit_suite_resumes_completed_legs(tmp_path, monkeypatch):
 
     ran = []
 
-    def fake_run_one(args):
+    def fake_spawn(argv, tmp):
+        args = quality_run.build_parser().parse_args(argv + ["--out", tmp])
         name = f"{args.mode}{'_overfit' if args.overfit else ''}"
         ran.append(name)
         assert not (args.mode == "image" and not args.overfit
                     and not (args.fpn or args.uc
                              or args.rpn_pos is not None)), \
             "completed plain-image legs must be skipped"
-        return {"final": {"map": 0.5, "map_bev": 0.4}, "mode": args.mode}
+        with open(tmp, "w") as f:
+            json.dump({"final": {"map": 0.5, "map_bev": 0.4},
+                       "mode": args.mode}, f)
+        return 0
 
-    monkeypatch.setattr(quality_run, "run_one", fake_run_one)
+    monkeypatch.setattr(quality_run, "_spawn_leg", fake_spawn)
     out = quality_run.emit_suite(path)
     # image legs preserved verbatim, bev + fpn + uc legs (re)run
     assert out["image_overfit"] == done["image_overfit"]
@@ -108,11 +112,15 @@ def test_emit_suite_reruns_stale_bev_schema(tmp_path, monkeypatch):
 
     ran = []
 
-    def fake_run_one(args):
+    def fake_spawn(argv, tmp):
+        args = quality_run.build_parser().parse_args(argv + ["--out", tmp])
         ran.append((args.mode, bool(args.overfit)))
-        return {"final": {"map": 0.5, "map_bev": 0.4}, "mode": args.mode}
+        with open(tmp, "w") as f:
+            json.dump({"final": {"map": 0.5, "map_bev": 0.4},
+                       "mode": args.mode}, f)
+        return 0
 
-    monkeypatch.setattr(quality_run, "run_one", fake_run_one)
+    monkeypatch.setattr(quality_run, "_spawn_leg", fake_spawn)
     out = quality_run.emit_suite(path)
     # the fresh-schema rotated leg is preserved; the stale one re-ran
     assert out["bev_scratch_rotated"] == stale["bev_scratch_rotated"]

@@ -438,6 +438,19 @@ def emit_suite(path: str):
         ("bev_scratch_long_rotated", ["--mode", "bev", "--iters", "12000",
                                       "--eval_every", "2000", "--rotated_nms",
                                       "--stepsize", "6000", "9000"]),
+        # the image-plateau fix (r5 diagnosis): on the synthetic set 62.4%
+        # of GTs have ZERO anchors >= the 0.7 RPN positive threshold
+        # (median best-anchor IoU 0.64) — those objects train on a single
+        # argmax anchor, capping proposal recall at ~0.75.  Dropping to
+        # 0.5/0.3 gives ~30 fg anchors/GT — the image analog of the BEV
+        # recipe's AVOD thresholds (LIDAR.RPN_POSITIVE_OVERLAP 0.45), and
+        # the same move the reference's kmeans-anchor workflow exists for.
+        # Ordered before the slower legs so the decisive evidence lands
+        # first in an interrupted run.
+        ("image_scratch_tuned", ["--mode", "image", "--iters", "6000",
+                                 "--eval_every", "1000",
+                                 "--rpn_pos", "0.5", "--rpn_neg", "0.3",
+                                 "--stepsize", "3000", "4500"]),
         ("image_scratch_long", ["--mode", "image", "--iters", "8000",
                                 "--eval_every", "1000",
                                 "--stepsize", "4000", "6000"]),
@@ -450,17 +463,6 @@ def emit_suite(path: str):
         ("image_uc_scratch", ["--mode", "image", "--iters", "4000",
                               "--eval_every", "500", "--uc",
                               "--stepsize", "2500"]),
-        # the image-plateau fix (r5 diagnosis): on the synthetic set 62.4%
-        # of GTs have ZERO anchors >= the 0.7 RPN positive threshold
-        # (median best-anchor IoU 0.64) — those objects train on a single
-        # argmax anchor, capping proposal recall at ~0.75.  Dropping to
-        # 0.5/0.3 gives ~30 fg anchors/GT — the image analog of the BEV
-        # recipe's AVOD thresholds (LIDAR.RPN_POSITIVE_OVERLAP 0.45), and
-        # the same move the reference's kmeans-anchor workflow exists for.
-        ("image_scratch_tuned", ["--mode", "image", "--iters", "6000",
-                                 "--eval_every", "1000",
-                                 "--rpn_pos", "0.5", "--rpn_neg", "0.3",
-                                 "--stepsize", "3000", "4500"]),
     ]
     out = {}
     if os.path.exists(path):
@@ -483,12 +485,35 @@ def emit_suite(path: str):
         if done(name):
             print(f"=== suite: {name} === already done, skipping")
             continue
-        print(f"=== suite: {name} ===")
-        out[name] = run_one(build_parser().parse_args(argv))
+        print(f"=== suite: {name} ===", flush=True)
+        # each leg runs in a FRESH interpreter: the long multi-leg suite
+        # accumulates host memory across legs when run in-process (compiled
+        # executables + client buffers never free across model rebuilds —
+        # an 8-leg run was OOM-killed at 130 GB RSS), and a crashed/OOMed
+        # leg must not take down the rest of the suite
+        tmp = f"{path}.{name}.tmp"
+        rc = _spawn_leg(argv, tmp)
+        if rc == 0 and os.path.exists(tmp):
+            with open(tmp) as f:
+                out[name] = json.load(f)
+            os.remove(tmp)
+        else:
+            print(f"leg {name} FAILED (rc {rc}) — continuing", flush=True)
+            out[name] = {"error": f"subprocess rc {rc}", "mode": argv[1]}
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
-        print(f"updated {path} ({name} done)")
+        print(f"updated {path} ({name} done)", flush=True)
     return out
+
+
+def _spawn_leg(argv: list, tmp: str) -> int:
+    """Run one suite leg as `python quality_run.py <argv> --out tmp`
+    (test seam: monkeypatched to avoid real training in unit tests)."""
+    import subprocess
+
+    return subprocess.call(
+        [sys.executable, os.path.abspath(__file__), *argv, "--out", tmp]
+    )
 
 
 if __name__ == "__main__":
