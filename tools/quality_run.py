@@ -381,9 +381,22 @@ def run_one(args) -> dict:
 
     curve = []
     t0 = time.time()
+
+    def result() -> dict:
+        return {
+            "mode": args.mode, "net": args.net, "frames": n_frames,
+            "iters": args.iters, "lr": args.lr, "seed": args.seed,
+            "overfit": bool(args.overfit),
+            "rotated_nms": bool(cfg.test.rotated_nms),
+            "eval": {"iou": iou_t, "type": eval_type, "thresh": args.thresh},
+            "curve": curve,
+            "final": curve[-1] if curve else None,
+            "wall_sec": round(time.time() - t0, 1),
+        }
+
     print(f"[quality_run] mode={args.mode} net={args.net} frames={n_frames} "
           f"iters={args.iters} lr={args.lr} overfit={args.overfit} "
-          f"rotated_nms={cfg.test.rotated_nms}")
+          f"rotated_nms={cfg.test.rotated_nms}", flush=True)
     for it in range(1, args.iters + 1):
         state, losses = step(
             state, {k: jnp.asarray(v) for k, v in loader.next().items()}, rng
@@ -397,16 +410,15 @@ def run_one(args) -> dict:
             print(f"  iter {it:5d} loss={total:.4f} mAP@{iou_t}({eval_type})="
                   f"{ev['map']:.4f}{bev_s} prop_recall={ev['proposal_recall']:.3f} "
                   f"tp={ev['tp']} fp={ev['fp']}/{ev['fp_taxonomy']} "
-                  f"[{time.time() - t0:.0f}s]")
-    return {
-        "mode": args.mode, "net": args.net, "frames": n_frames,
-        "iters": args.iters, "lr": args.lr, "seed": args.seed,
-        "overfit": bool(args.overfit), "rotated_nms": bool(cfg.test.rotated_nms),
-        "eval": {"iou": iou_t, "type": eval_type, "thresh": args.thresh},
-        "curve": curve,
-        "final": curve[-1] if curve else None,
-        "wall_sec": round(time.time() - t0, 1),
-    }
+                  f"[{time.time() - t0:.0f}s]", flush=True)
+            # partial write after EVERY eval: a host-OOM-killed long leg
+            # (the TPU client retains per-step staging memory) still
+            # leaves its curve for the suite to collect
+            if args.out:
+                os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+                with open(args.out, "w") as f:
+                    json.dump(result(), f, indent=1)
+    return result()
 
 
 def emit_suite(path: str):
@@ -451,9 +463,6 @@ def emit_suite(path: str):
                                  "--eval_every", "1000",
                                  "--rpn_pos", "0.5", "--rpn_neg", "0.3",
                                  "--stepsize", "3000", "4500"]),
-        ("image_scratch_long", ["--mode", "image", "--iters", "8000",
-                                "--eval_every", "1000",
-                                "--stepsize", "4000", "6000"]),
         # VERDICT r4 #5: the reference's headline feature configs get
         # quality legs too — FPN, and full uncertainty (aleatoric +
         # epistemic) with the uc-vs-FP ranking stats
@@ -463,6 +472,16 @@ def emit_suite(path: str):
         ("image_uc_scratch", ["--mode", "image", "--iters", "4000",
                               "--eval_every", "500", "--uc",
                               "--stepsize", "2500"]),
+        # ordered LAST: the default-threshold long leg is the weakest
+        # marginal evidence — r4's 4000-iter artifact plus this round's
+        # 5000-iter run (mAP 0.37, recall 0.73, flat across the LR decay)
+        # already establish the plateau the tuned leg breaks.  6000 iters:
+        # a single leg must stay under the host-RAM ceiling (the TPU
+        # client retains ~14 MB of host staging per step at this batch
+        # shape — ~84 GB over 6000 iters; 8000 would OOM the host)
+        ("image_scratch_long", ["--mode", "image", "--iters", "6000",
+                                "--eval_every", "1000",
+                                "--stepsize", "3000", "4500"]),
     ]
     out = {}
     if os.path.exists(path):
@@ -493,10 +512,15 @@ def emit_suite(path: str):
         # leg must not take down the rest of the suite
         tmp = f"{path}.{name}.tmp"
         rc = _spawn_leg(argv, tmp)
-        if rc == 0 and os.path.exists(tmp):
+        if os.path.exists(tmp):
+            # rc != 0 with a tmp present = killed mid-leg; the partial
+            # curve (written after every eval) is still evidence
             with open(tmp) as f:
                 out[name] = json.load(f)
             os.remove(tmp)
+            if rc != 0:
+                out[name]["error"] = f"subprocess rc {rc} (partial curve)"
+                print(f"leg {name} died (rc {rc}) — partial kept", flush=True)
         else:
             print(f"leg {name} FAILED (rc {rc}) — continuing", flush=True)
             out[name] = {"error": f"subprocess rc {rc}", "mode": argv[1]}
