@@ -380,6 +380,13 @@ def main():
             if bound:
                 out["ref_fps_bound"] = bound
                 out["vs_baseline_bound"] = round(value / bound, 2)
+            bound_b1 = m.get("flops", {}).get("ref_gpu_fps_bound_b1")
+            if bound_b1:
+                # batch-1 flops denominator (the reference's actual
+                # regime); both bounds assume the reference hits 100% of
+                # V100 fp32 peak — torch fp32 CNNs typically reach 30-50%
+                out["ref_fps_bound_b1"] = bound_b1
+                out["vs_baseline_bound_b1"] = round(value / bound_b1, 2)
             cpu_fps = m.get("torch_cpu", {}).get("torch_cpu_fps")
             if cpu_fps:
                 out["ref_torch_cpu_fps"] = cpu_fps

@@ -64,11 +64,12 @@ class UCConfig:
     # serialized.  Measured at T=10 b8 512x960 on v5e: chunk 2 = 17.3,
     # chunk 5 = 18.5 f/s, chunk 10 = compile OOM.
     e_mc_chunk: int = 5
-    # test-time override (0 = use e_mc_chunk): inference has no backward
-    # activations to hold, so the MC scan can vmap a larger chunk than
-    # training tolerates — fewer sequential scan steps, better MXU
-    # occupancy at the same peak memory budget
-    e_mc_chunk_test: int = 10
+    # test-time override (0 = use e_mc_chunk).  Swept on v5e at T=10 b8
+    # 512x960 (r5): chunk 1 = 34.4 f/s, 2 = 29.3, 3 = 25.2, 5 = 30.4,
+    # 10 = 31.1 — the fully SERIALIZED scan wins: the MC det tail
+    # (stride-1 layer4 over B*S pooled RoIs) is HBM-bound, and one
+    # sample's working set stays resident while wider vmap chunks spill.
+    e_mc_chunk_test: int = 1
     sort_type: str = ""
     # Bayesian CE formulation for aleatoric classification: 'full' (avg
     # softmax over distorted logits, ref loss_utils.py:149-169), 'simple'

@@ -155,32 +155,46 @@ def flops_bound() -> dict:
     )
 
     cfg = bench.image_config()
-    ds = SyntheticDataset(cfg, num_frames=8, num_classes=2, image_hw=FRAME_HW)
-    loader = BatchLoader(ds, cfg, batch_size=bench.BATCH, seed=0)
     model = FasterRCNN(cfg=cfg, num_classes=2)
     rng = jax.random.PRNGKey(0)
-    state, opt = create_train_state(model, cfg, rng, loader.peek())
-    step = make_train_step(model, opt)
-    batch = {k: jnp.asarray(v) for k, v in loader.next().items()}
-    compiled = jax.jit(step).lower(state, batch, rng).compile()
-    ca = compiled.cost_analysis()
-    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-    flops = float(ca.get("flops", 0.0))
+
+    def step_flops(batch_size: int) -> float:
+        ds = SyntheticDataset(
+            cfg, num_frames=max(batch_size, 2), num_classes=2,
+            image_hw=FRAME_HW,
+        )
+        loader = BatchLoader(ds, cfg, batch_size=batch_size, seed=0)
+        state, opt = create_train_state(model, cfg, rng, loader.peek())
+        step = make_train_step(model, opt)
+        batch = {k: jnp.asarray(v) for k, v in loader.next().items()}
+        compiled = jax.jit(step).lower(state, batch, rng).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(ca.get("flops", 0.0))
+
+    flops = step_flops(bench.BATCH)
     per_frame = flops / bench.BATCH
+    # batch-1 flops: the honest denominator for the batch-1 fp32 torch
+    # reference (ADVICE r4 — at batch 8 fixed per-step work amortizes and
+    # mildly flatters the reference-side bound)
+    flops_b1 = step_flops(1)
     bound = V100_FP32_TFLOPS * 1e12 / per_frame if per_frame else None
+    bound_b1 = V100_FP32_TFLOPS * 1e12 / flops_b1 if flops_b1 else None
     return {
         "step_flops": flops,
         "flops_per_frame": per_frame,
         "ref_gpu_fps_bound": round(bound, 2) if bound else None,
+        "flops_per_frame_b1": flops_b1,
+        "ref_gpu_fps_bound_b1": round(bound_b1, 2) if bound_b1 else None,
         "note": "bench image-config train step FLOPs (XLA cost analysis); "
                 "bound = 15.7 fp32 TFLOP/s (V100 peak) / FLOPs-per-frame — "
                 "the reference is fp32 torch, batch 1 "
-                "(ref minibatch.py:111).  Caveat (ADVICE r4): FLOPs/frame "
-                "is measured at batch 8, where fixed per-step work "
-                "amortizes, so it slightly UNDERestimates the reference's "
-                "batch-1 per-frame FLOPs — i.e. the bound is mildly "
-                "OPTIMISTIC for the reference, making vs_baseline_bound "
-                "a conservative claim for this framework",
+                "(ref minibatch.py:111).  *_b1 variants measure the step "
+                "at batch 1 (the reference's actual regime, ADVICE r4): "
+                "fixed per-step work no longer amortizes, so the b1 bound "
+                "is the honest reference-side ceiling.  Either bound "
+                "assumes the reference hits 100% of V100 fp32 peak — "
+                "torch fp32 CNNs typically reach 30-50%.",
     }
 
 
